@@ -1,0 +1,150 @@
+"""Tokenizer + transformer chain with reference-identical semantics.
+
+Mirrors the behavior (not the code) of the reference analyzers:
+- RegexTokenizer: split on ``\\W+`` (Unicode), drop empties; non-strings pass
+  through as a single token (reference: src/Token/RegexTokenizer.php:19-27).
+- LowerCaseTransformer: optional filters, then Unicode lowercase
+  (reference: src/Transformer/LowerCaseTransformer.php:27-35).
+- SymbolTransformer: strip ``[^a-zA-Z0-9]+`` (src/Transformer/SymbolTransformer.php:25-34).
+- StemmerTransformer: Snowball/Porter2 English (src/Transformer/StemmerTransformer.php:30-39).
+- StopWordsFilter: drop token when in the per-language list; unknown language
+  => allow everything (src/Transformer/StopWordsFilter.php:25-40).
+- Chain: transformers run in order; a ``None`` kills the token and stops the
+  chain (reference: src/Index/AbstractStorage.php:336-345).
+
+These are pure-Python callables so they can run identically on the driver
+(query-term transformation) and inside Arrow-vectorized pandas UDFs
+(corpus tokenization) — one code path, byte-identical terms.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+from phphinder_spark.analysis.porter2 import stem
+from phphinder_spark.analysis.stopwords_en import STOPWORDS_EN
+
+_WORD_SPLIT = re.compile(r"\W+", re.UNICODE)
+_SYMBOL = re.compile(r"[^a-zA-Z0-9]+")
+
+STOPWORDS = {"en": STOPWORDS_EN}
+
+
+class RegexTokenizer:
+    """Split text on non-word runs; non-strings pass through whole."""
+
+    def apply(self, text: object) -> list:
+        if not isinstance(text, str):
+            return [text]
+        return [t for t in _WORD_SPLIT.split(text) if t != ""]
+
+
+class _Filtered:
+    """Shared filter plumbing (reference filters run before the transform)."""
+
+    def __init__(self, lang_iso: str = "en", filters: Iterable | None = None):
+        self.lang_iso = lang_iso
+        self.filters = list(filters or [])
+
+    def _allowed(self, term: str) -> bool:
+        return all(f.allow(term) for f in self.filters)
+
+
+class StopWordsFilter:
+    def __init__(self, lang_iso: str = "en"):
+        self.stop_words = STOPWORDS.get(lang_iso, frozenset())
+
+    def allow(self, term: str) -> bool:
+        return term not in self.stop_words
+
+
+class LowerCaseTransformer(_Filtered):
+    def apply(self, term: str) -> str | None:
+        if not self._allowed(term):
+            return None
+        return term.lower()
+
+
+class SymbolTransformer(_Filtered):
+    def apply(self, term: str) -> str | None:
+        if not self._allowed(term):
+            return None
+        return _SYMBOL.sub("", term)
+
+
+class StemmerTransformer(_Filtered):
+    def __init__(self, lang_iso: str = "en", filters: Iterable | None = None):
+        super().__init__(lang_iso, filters)
+        if lang_iso != "en":
+            raise NotImplementedError(
+                f"only the English Snowball stemmer is implemented (got {lang_iso!r})"
+            )
+
+    def apply(self, term: str) -> str | None:
+        if not self._allowed(term):
+            return None
+        return stem(term)
+
+
+class Analyzer:
+    """Tokenizer + ordered transformer chain.
+
+    ``transform`` applies the chain to one token (None = dropped, chain
+    stops). ``analyze`` tokenizes then transforms, keeping original token
+    positions, which the positional index needs for phrase queries.
+    """
+
+    def __init__(self, tokenizer: RegexTokenizer | None = None, transformers: list | None = None):
+        self.tokenizer = tokenizer or RegexTokenizer()
+        self.transformers = list(transformers or [])
+
+    @staticmethod
+    def default(lang_iso: str = "en", with_symbol: bool = False) -> "Analyzer":
+        """The reference integration-test chain: lowercase(+stopwords) then
+        stem; the Alice/performance chain inserts SymbolTransformer between
+        them (reference: tests/Performance/AliceSearchEngineTest.php:109-113).
+        """
+        chain: list = [LowerCaseTransformer(lang_iso, [StopWordsFilter(lang_iso)])]
+        if with_symbol:
+            chain.append(SymbolTransformer(lang_iso))
+        chain.append(StemmerTransformer(lang_iso))
+        return Analyzer(transformers=chain)
+
+    @staticmethod
+    def lowercase_only(lang_iso: str = "en") -> "Analyzer":
+        """Lowercase without stopwords/stemming — SQL-oracle-friendly chain."""
+        return Analyzer(transformers=[LowerCaseTransformer(lang_iso)])
+
+    def transform(self, term: object) -> object | None:
+        if not isinstance(term, str):
+            return term
+        for t in self.transformers:
+            term = t.apply(term)
+            if term is None:
+                return None
+        return term
+
+    def analyze(self, text: object) -> list[tuple[object, int]]:
+        """Return [(transformed_token, original_position)] with drops removed."""
+        out = []
+        for pos, tok in enumerate(self.tokenizer.apply(text)):
+            tok = self.transform(tok)
+            if tok is None or tok == "":
+                continue
+            out.append((tok, pos))
+        return out
+
+    def terms(self, text: object) -> list:
+        return [t for t, _ in self.analyze(text)]
+
+    def unique_terms(self, text: object) -> list:
+        """Order-preserving unique transformed tokens (reference
+        AbstractStorage::getTokensFor, src/Index/AbstractStorage.php:350-356)."""
+        seen = set()
+        out = []
+        for t, _ in self.analyze(text):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
