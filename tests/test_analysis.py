@@ -32,8 +32,8 @@ class TestStemmer:
             "bled": "bled",
             "motoring": "motor",
             "sing": "sing",
-            "conflated": "conflate",
-            "troubled": "trouble",
+            "conflated": "conflat",
+            "troubled": "troubl",
             "sized": "size",
             "hopping": "hop",
             "tanned": "tan",
@@ -59,7 +59,7 @@ class TestStemmer:
             "wonderland": "wonderland",
             "hatter": "hatter",
             "conditional": "condit",
-            "rational": "rational",
+            "rational": "ration",
             "by": "by",
             "say": "say",
             "cry": "cri",
