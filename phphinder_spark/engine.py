@@ -1,0 +1,448 @@
+"""SparkSearchEngine — the reference's SearchEngine re-expressed as
+DataFrame plans (reference behavior map in SURVEY.md §2.9/§3.1).
+
+Query evaluation mirrors src/SearchEngine.php's posting-set algebra:
+leaves produce match rows, AND/OR fold them with accumulation, NOT
+anti-joins, the AND count-filter keeps docs matching every direct text
+subquery, the fulltext flag is a case-sensitive substring test on stored
+fulltext fields, and the weight is the doubling fold (scoring.py).
+
+Known deliberate divergences (documented in SURVEY.md §2.9):
+- results stay keyed by doc_id; the reference's positional re-keying bug
+  after usort is not replicated (observable counts/weights are identical);
+- a fielded fulltext query labels matches with the field name, not the
+  phrase (reference AbstractStorage::findDocIdsByFulltext keys the map by
+  the raw text — an untested quirk).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from phphinder_spark.functions.typo import levenshtein_distance_for_term
+from phphinder_spark.index.builder import InvertedIndex, build_index, build_postings
+from phphinder_spark.query import (
+    AndQuery,
+    FullTextQuery,
+    GroupQuery,
+    NotQuery,
+    NullQuery,
+    OrQuery,
+    PrefixQuery,
+    QueryParser,
+    TermQuery,
+    TextQuery,
+)
+from phphinder_spark.query.parser import ANY_FIELD
+from phphinder_spark.schema import SearchSchema
+from phphinder_spark.scoring import bm25_topk, reference_score
+
+_MATCH_SCHEMA = "doc_id long, qvalue string, field string, seq long"
+
+
+@dataclass
+class Result:
+    doc_id: int
+    terms: list[str]
+    indices: list[str]
+    fulltext: bool
+    weight: float
+    document: dict = dc_field(default_factory=dict)
+
+
+class _Ctx:
+    def __init__(self) -> None:
+        self._seq = 0
+        self.events: list[tuple[int, str]] = []
+
+    def next(self) -> int:
+        self._seq += 1
+        return self._seq
+
+
+class RequiredFieldError(ValueError):
+    pass
+
+
+class SparkSearchEngine:
+    def __init__(self, spark: SparkSession, schema: SearchSchema):
+        self.spark = spark
+        self.schema = schema
+        self.index: InvertedIndex | None = None
+        self._buffer: list[dict] = []
+        self._max_id = 0
+
+    # ------------------------------------------------------------------ write
+
+    def add_document(self, doc: dict) -> "SparkSearchEngine":
+        self._buffer.append(doc)
+        return self
+
+    def add_documents(self, docs: list[dict]) -> "SparkSearchEngine":
+        self._buffer.extend(docs)
+        return self
+
+    def flush(self) -> None:
+        """Assign ids, upsert docs + postings (reference flush,
+        src/SearchEngine.php:53-63; unique-field replacement semantics of
+        :69-82 — old doc's id is reused, its postings removed)."""
+        if not self._buffer:
+            return
+        rows, self._buffer = self._buffer, []
+        for doc in rows:
+            for req in self.schema.required_fields:
+                if req not in doc:
+                    payload = json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+                    raise RequiredFieldError(
+                        f"No `{req}` key provided for doc {payload}"
+                    )
+
+        uniq = self.schema.unique_field
+        assigned: list[tuple[int, dict]] = []
+        replaced_ids: list[int] = []
+        existing_by_uniq: dict[Any, int] = {}
+        if uniq and self.index is not None:
+            existing_by_uniq = {
+                r[uniq]: r["doc_id"]
+                for r in self.index.docs.select(uniq, "doc_id").collect()
+            }
+        batch_by_uniq: dict[Any, int] = {}
+        for doc in rows:
+            key = doc.get(uniq) if uniq else None
+            if uniq and key is not None and key in existing_by_uniq:
+                doc_id = existing_by_uniq[key]
+                replaced_ids.append(doc_id)
+            elif uniq and key is not None and key in batch_by_uniq:
+                doc_id = batch_by_uniq[key]
+                assigned = [(i, d) for i, d in assigned if i != doc_id]
+            else:
+                self._max_id += 1
+                doc_id = self._max_id
+                if uniq and key is not None:
+                    batch_by_uniq[key] = doc_id
+            assigned.append((doc_id, doc))
+
+        struct = self.schema.to_struct_type()
+        data = [
+            tuple([doc_id] + [doc.get(f) for f in self.schema.fields])
+            for doc_id, doc in assigned
+        ]
+        new_df = self.spark.createDataFrame(data, struct)
+        new_index = build_index(new_df.withColumn("doc_id", F.col("doc_id")), self.schema)
+
+        if self.index is None:
+            self.index = new_index
+        else:
+            drop = set(replaced_ids) | {i for i, _ in assigned}
+            keep_docs = self.index.docs.where(~F.col("doc_id").isin(list(drop)))
+            keep_post = self.index.postings.where(~F.col("doc_id").isin(list(drop)))
+            self.index = InvertedIndex(
+                self.schema,
+                keep_docs.unionByName(new_index.docs),
+                keep_post.unionByName(new_index.postings),
+            )
+        self.index.docs.cache().count()
+        self.index.postings.cache().count()
+
+    def index_dataframe(self, df: DataFrame) -> None:
+        """Bulk build (the scale path). ``df`` must carry ``doc_id``."""
+        self.index = build_index(df, self.schema).cache()
+        row = self.index.docs.agg(F.max("doc_id").alias("m")).collect()[0]
+        self._max_id = row["m"] or 0
+
+    # ------------------------------------------------------------------ read
+
+    def _empty_matches(self) -> DataFrame:
+        return self.spark.createDataFrame([], _MATCH_SCHEMA)
+
+    def _field_pos_col(self) -> F.Column:
+        labels = self._all_field_labels()
+        expr = F.lit(0)
+        for i, f in enumerate(labels):
+            expr = F.when(F.col("field") == f, F.lit(i)).otherwise(expr)
+        return expr
+
+    def _all_field_labels(self) -> list[str]:
+        seen = list(self.schema.indexed_fields)
+        for f in self.schema.fulltext_fields:
+            if f not in seen:
+                seen.append(f)
+        return seen
+
+    def _attach(self, matches: DataFrame, rows: DataFrame, qvalue: str, base_seq: int) -> DataFrame:
+        rows = rows.select(
+            "doc_id",
+            F.lit(qvalue).alias("qvalue"),
+            "field",
+            (F.lit(base_seq * 1000) + self._field_pos_col()).alias("seq"),
+        )
+        return matches.unionByName(rows)
+
+    def _leaf_term(self, q: TermQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
+        t = self.schema.analyzer.transform(q.value)
+        if t is None:
+            return matches
+        t = str(t)
+        post = self.index.postings
+        if q.field == ANY_FIELD:
+            fields = [f for f in self.schema.indexed_fields if not self.schema.is_unique(f)]
+        else:
+            fields = [q.field]
+        base_seq = ctx.next()
+        exact = post.where((F.col("term") == t) & F.col("field").isin(fields)).select(
+            "doc_id", "field"
+        )
+        if exact.limit(1).count() == 0:
+            exact = self._typo_candidates(t, fields)
+        return self._attach(matches, exact, q.value, base_seq)
+
+    def _typo_candidates(self, t: str, fields: list[str]) -> DataFrame:
+        """Length-banded dictionary prefilter + exact Levenshtein — same
+        final semantics as the reference's state-set automaton + refilter
+        (src/Index/AbstractStorage.php:182-205, SURVEY.md Q5)."""
+        d = levenshtein_distance_for_term(t)
+        empty = self.spark.createDataFrame([], "doc_id long, field string")
+        if d == 0:
+            return empty
+        cand = (
+            self.index.dict_df.where(F.col("field").isin(fields))
+            .where(F.abs(F.length("term") - F.lit(len(t))) <= d)
+            .where(F.levenshtein(F.col("term"), F.lit(t)) <= d)
+            .select("field", "term")
+        )
+        return (
+            self.index.postings.join(F.broadcast(cand), ["field", "term"])
+            .select("doc_id", "field")
+            .distinct()
+        )
+
+    def _leaf_prefix(self, q: PrefixQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
+        p = self.schema.analyzer.transform(q.value)
+        if p is None:
+            return matches
+        p = str(p)
+        # prefix search includes unique fields (reference
+        # AbstractStorage::loadPrefixIndices has no unique skip, :271-284)
+        fields = (
+            self.schema.indexed_fields if q.field == ANY_FIELD else [q.field]
+        )
+        base_seq = ctx.next()
+        rows = (
+            self.index.postings.where(
+                F.col("term").startswith(p) & F.col("field").isin(fields)
+            )
+            .select("doc_id", "field")
+            .distinct()
+        )
+        return self._attach(matches, rows, q.value, base_seq)
+
+    def _leaf_fulltext(self, q: FullTextQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
+        if q.field == ANY_FIELD:
+            # stored + fulltext fields only (reference
+            # AbstractStorage::loadFulltextIndices, :303-322)
+            fields = [
+                f for f in self.schema.fulltext_fields if self.schema.is_stored(f)
+            ]
+        else:
+            fields = [f for f in [q.field] if f in self.schema.fields]
+        base_seq = ctx.next()
+        docs = self.index.docs
+        parts = []
+        for f in fields:
+            if f not in docs.columns:
+                continue
+            parts.append(
+                docs.where(F.col(f).contains(q.value)).select(
+                    "doc_id", F.lit(f).alias("field")
+                )
+            )
+        if parts:
+            rows = parts[0]
+            for p in parts[1:]:
+                rows = rows.unionByName(p)
+        else:
+            rows = self.spark.createDataFrame([], "doc_id long, field string")
+        out = self._attach(matches, rows, q.value, base_seq)
+        ctx.events.append((ctx.next() * 1000, q.value))
+        return out
+
+    def _compute(self, q, matches: DataFrame, ctx: _Ctx, phrase: str) -> DataFrame:
+        if isinstance(q, (AndQuery, OrQuery)) and not isinstance(q, NotQuery):
+            return self._group(q, matches, ctx, phrase)
+        if isinstance(q, NotQuery):
+            excluded = self._compute(q.get_subquery(), self._empty_matches(), ctx, phrase)
+            return matches.join(
+                excluded.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+        if isinstance(q, TermQuery):
+            return self._leaf_term(q, matches, ctx)
+        if isinstance(q, PrefixQuery):
+            return self._leaf_prefix(q, matches, ctx)
+        if isinstance(q, FullTextQuery):
+            return self._leaf_fulltext(q, matches, ctx)
+        if isinstance(q, NullQuery):
+            return matches
+        return matches
+
+    def _group(self, q: GroupQuery, matches: DataFrame, ctx: _Ctx, phrase: str) -> DataFrame:
+        subs = sorted(q.subqueries, key=lambda s: s.priority)  # stable: NOT last
+        for s in subs:
+            matches = self._compute(s, matches, ctx, phrase)
+        if isinstance(q, AndQuery):
+            n_text = len([s for s in q.subqueries if isinstance(s, TextQuery)])
+            ok = (
+                matches.groupBy("doc_id")
+                .agg(F.countDistinct("qvalue").alias("c"))
+                .where(F.col("c") == n_text)
+                .select("doc_id")
+            )
+            matches = matches.join(ok, "doc_id", "left_semi")
+            ctx.events.append((ctx.next() * 1000, phrase))
+        return matches
+
+    def _fulltext_flag_expr(self, phrase: str) -> F.Column:
+        """Case-sensitive substring over stored fulltext fields, last
+        non-null field wins (reference SearchEngine::assignFulltextMatch
+        loops fields in schema order overwriting the flag)."""
+        flag = F.lit(False)
+        for f in self.schema.fulltext_fields:
+            if not self.schema.is_stored(f):
+                raise ValueError(
+                    f"Field `{f}` is declared as fulltext but not stored."
+                )
+            flag = F.when(F.col(f).isNotNull(), F.col(f).contains(phrase)).otherwise(flag)
+        return flag
+
+    def _finalize(
+        self, q, matches: DataFrame, ctx: _Ctx, phrase: str
+    ) -> DataFrame:
+        """Aggregate match rows per doc, attach stored docs, compute the
+        fulltext flag and (for group queries) the reference weight."""
+        agg = matches.groupBy("doc_id").agg(
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "qvalue"))),
+                    lambda s: s.qvalue,
+                )
+            ).alias("terms"),
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "field"))),
+                    lambda s: s.field,
+                )
+            ).alias("fields"),
+            F.min("seq").alias("min_seq"),
+        )
+        docs = self.index.docs
+        out = agg.join(docs, "doc_id", "left")
+
+        flag = F.lit(False)
+        for eseq, ephrase in ctx.events:
+            flag = F.when(F.col("min_seq") < eseq, self._fulltext_flag_expr(ephrase)).otherwise(flag)
+        out = out.withColumn("fulltext", flag)
+
+        if isinstance(q, (AndQuery, OrQuery)) and not isinstance(q, NotQuery):
+            groups: dict[str, tuple[list[str], float]] = {}
+            for s in q.subqueries:
+                if isinstance(s, TextQuery):
+                    vals, boost = groups.get(s.field, ([], 0.0))
+                    groups[s.field] = (vals + [s.value], boost + getattr(s, "boost", 1.0))
+            score = reference_score(
+                F.col("fields"), F.col("terms"), groups, self._all_field_labels()
+            )
+            score = (
+                score
+                + F.when(F.col("fulltext"), F.lit(10.0)).otherwise(F.lit(0.0))
+                + F.lit(2.0) * F.size("terms").cast("double")
+            )
+            out = out.withColumn("weight", score).orderBy(
+                F.desc("weight"), F.asc("doc_id")
+            )
+        else:
+            out = out.withColumn("weight", F.lit(0.0)).orderBy(F.asc("doc_id"))
+        return out.drop("min_seq")
+
+    def search_df(self, phrase: str) -> DataFrame:
+        """Full reference semantics; returns (doc_id, terms, fields,
+        fulltext, weight, <stored fields>) ordered like the reference."""
+        if self.index is None:
+            raise RuntimeError("no documents indexed")
+        query = QueryParser(ANY_FIELD).parse(phrase)
+        ctx = _Ctx()
+        matches = self._compute(query, self._empty_matches(), ctx, phrase)
+        return self._finalize(query, matches, ctx, phrase)
+
+    def search(self, phrase: str) -> list[Result]:
+        rows = self.search_df(phrase).collect()
+        stored = [f for f in self.schema.stored_fields]
+        return [
+            Result(
+                doc_id=r["doc_id"],
+                terms=list(r["terms"]),
+                indices=list(r["fields"]),
+                fulltext=bool(r["fulltext"]),
+                weight=float(r["weight"]),
+                document={f: r[f] for f in stored if f in r.asDict()},
+            )
+            for r in rows
+        ]
+
+    def find_docs_by_index(self, term: str, field: str | None = None) -> dict[str, list[int]]:
+        """Reference findDocsByIndex (src/SearchEngine.php:91-94): exact
+        dictionary lookup per non-unique indexed field, no scoring."""
+        t = self.schema.analyzer.transform(term)
+        result_fields = (
+            [f for f in self.schema.indexed_fields if not self.schema.is_unique(f)]
+            if field is None
+            else [field]
+        )
+        if t is None:
+            return {f: [] for f in result_fields}
+        rows = (
+            self.index.postings.where(
+                (F.col("term") == str(t)) & F.col("field").isin(result_fields)
+            )
+            .groupBy("field")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .collect()
+        )
+        out = {f: [] for f in result_fields}
+        for r in rows:
+            out[r["field"]] = list(r["ids"])
+        return out
+
+    def search_topk_bm25(
+        self, phrase: str, k: int = 10, field: str | None = None,
+        k1: float = 1.2, b: float = 0.75,
+    ) -> DataFrame:
+        """BM25 disjunctive top-k (north_star primary scorer)."""
+        if self.index is None:
+            raise RuntimeError("no documents indexed")
+        analyzer = self.schema.analyzer
+        terms = []
+        for tok in analyzer.tokenizer.apply(phrase):
+            t = analyzer.transform(tok)
+            if t is not None and t != "":
+                terms.append(str(t))
+        if field is None:
+            candidates = [
+                f for f in self.schema.indexed_fields if not self.schema.is_unique(f)
+            ]
+            field = candidates[0]
+        stats = self.index.stats()
+        avgdl = stats["avgdl"].get(field, 1.0)
+        return bm25_topk(
+            self.index.postings,
+            self.index.doclens,
+            terms,
+            field,
+            stats["n_docs"],
+            avgdl,
+            k,
+            k1,
+            b,
+        )

@@ -1,0 +1,212 @@
+"""Distributed inverted-index build (the Spark replacement for the
+reference's per-row read-modify-write flush loop,
+src/SearchEngine.php:53-63 + src/Index/AbstractStorage.php:108-128).
+
+One declarative dataflow per indexed field:
+
+    docs --pandas-UDF analyze--> (doc_id, field, term, pos)
+         --groupBy(field, term, doc_id)--> postings (tf, positions)
+
+All tokenization/transformation runs in Arrow-vectorized pandas UDFs
+(input_hint: no per-row Python UDFs); posting aggregation is a hash
+aggregate with map-side partial combine, so hot terms ("function",
+"return") do NOT skew this stage — doc_id is part of the grouping key.
+The dictionary/stat aggregates that do group by bare (field, term) use a
+salted two-stage combine (see ``dictionary``).
+
+The postings model is a superset of the reference's docID sets
+(reference stores only comma-joined ids, src/Index/AbstractStorage.php:225):
+we carry tf + positions per the north_star contract so BM25 and positional
+phrase matching work at scale while set-membership semantics stay exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from phphinder_spark.analysis import Analyzer
+from phphinder_spark.schema import SearchSchema
+
+_ANALYZED_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+
+def _analyze_udf(analyzer: Analyzer, unique: bool):
+    """Arrow-vectorized analyzer: Series[str] -> Series[list[(term, pos)]].
+
+    Unique fields bypass the transformer chain (reference:
+    src/Index/AbstractStorage.php:114-119) but are still tokenized.
+    """
+
+    def analyze_batch(s: pd.Series) -> pd.Series:
+        if unique:
+            return s.map(
+                lambda v: []
+                if v is None
+                else [(str(t), i) for i, t in enumerate(analyzer.tokenizer.apply(v))]
+            )
+        return s.map(
+            lambda v: []
+            if v is None
+            else [(str(t), p) for t, p in analyzer.analyze(v)]
+        )
+
+    return F.pandas_udf(analyze_batch, _ANALYZED_TYPE)
+
+
+def tokenize_field(
+    df: DataFrame, field: str, analyzer: Analyzer, unique: bool = False
+) -> DataFrame:
+    """(doc_id, <field>) -> exploded (doc_id, field, term, pos)."""
+    col = df[field]
+    if dict(df.dtypes).get(field) not in ("string",):
+        # non-strings pass through as one whole token (reference:
+        # src/Token/RegexTokenizer.php:21-23)
+        return (
+            df.where(F.col(field).isNotNull())
+            .select(
+                "doc_id",
+                F.lit(field).alias("field"),
+                col.cast("string").alias("term"),
+                F.lit(0).alias("pos"),
+            )
+        )
+    udf = _analyze_udf(analyzer, unique)
+    return (
+        df.select("doc_id", udf(col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tk"))
+        .select(
+            "doc_id",
+            F.lit(field).alias("field"),
+            F.col("tk.term").alias("term"),
+            F.col("tk.pos").alias("pos"),
+        )
+    )
+
+
+def build_postings(df: DataFrame, schema: SearchSchema) -> DataFrame:
+    """All indexed fields -> (field, term, doc_id, tf, positions)."""
+    parts = []
+    for field in schema.indexed_fields:
+        if field not in df.columns:
+            continue
+        parts.append(tokenize_field(df, field, schema.analyzer, schema.is_unique(field)))
+    if not parts:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            "field string, term string, doc_id long, tf long, positions array<int>",
+        )
+    tokens = parts[0]
+    for p in parts[1:]:
+        tokens = tokens.unionByName(p)
+    return tokens.groupBy("field", "term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def build_doclens(postings: DataFrame) -> DataFrame:
+    """(doc_id, field, dl) — post-analysis token counts for BM25."""
+    return postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
+
+
+def dictionary(postings: DataFrame, salt_partitions: int = 0) -> DataFrame:
+    """(field, term, df) document frequencies.
+
+    With ``salt_partitions`` > 0, aggregates in two stages keyed by
+    (field, term, crc32(doc_id) % S) first — the skew-proof path for
+    10^12-scale hot terms where even partial aggregation leaves one
+    reducer with a giant final group's traffic (SURVEY.md §4.3).
+    """
+    if salt_partitions > 0:
+        partial = postings.groupBy(
+            "field", "term", (F.crc32(F.col("doc_id").cast("string")) % salt_partitions).alias("_salt")
+        ).agg(F.count("*").alias("pdf"))
+        return partial.groupBy("field", "term").agg(F.sum("pdf").alias("df"))
+    return postings.groupBy("field", "term").agg(F.count("*").alias("df"))
+
+
+class InvertedIndex:
+    """In-memory (cached-DataFrame) index: docs + postings + stats."""
+
+    def __init__(self, schema: SearchSchema, docs: DataFrame, postings: DataFrame):
+        self.schema = schema
+        self.docs = docs
+        self.postings = postings
+        self.doclens = build_doclens(postings)
+        self._dict = None
+        self._stats = None
+
+    @property
+    def dict_df(self) -> DataFrame:
+        if self._dict is None:
+            self._dict = dictionary(self.postings)
+        return self._dict
+
+    def stats(self) -> dict:
+        if self._stats is None:
+            n = self.docs.count()
+            avgdl = {
+                r["field"]: r["avgdl"]
+                for r in self.doclens.groupBy("field").agg(F.avg("dl").alias("avgdl")).collect()
+            }
+            self._stats = {"n_docs": n, "avgdl": avgdl}
+        return self._stats
+
+    def cache(self) -> "InvertedIndex":
+        self.docs.cache()
+        self.postings.cache()
+        return self
+
+    def unpersist(self) -> None:
+        self.docs.unpersist()
+        self.postings.unpersist()
+
+
+def assign_doc_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Deterministic dense doc_id = global rank over ``order_cols``.
+
+    NOT ``monotonically_increasing_id`` (partition-layout dependent) and NOT
+    a single-partition ``row_number`` window (a global Window.orderBy without
+    partitionBy funnels every row through one task — a 100TB non-starter).
+    Scale path: range-repartition + sortWithinPartitions, then per-partition
+    local ranks shifted by broadcast cumulative offsets. Ids depend only on
+    the total order, not on partition boundaries, so reruns at any
+    parallelism produce identical ids (north_rule determinism).
+    """
+    from pyspark.sql.window import Window
+
+    sdf = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    sdf = sdf.withColumn("_pid", F.spark_partition_id())
+    counts = sdf.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_df = sdf.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        sdf.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offset_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def build_index(df: DataFrame, schema: SearchSchema) -> InvertedIndex:
+    """Bulk build: project stored fields, build postings."""
+    cols = ["doc_id"] + [f for f in schema.fields if f in df.columns]
+    docs = df.select(*cols)
+    postings = build_postings(df, schema)
+    return InvertedIndex(schema, docs, postings)
