@@ -1,0 +1,180 @@
+"""Dedup / similarity / textstats / multimodal operator tests against the
+driver-provided sf0.001 tables, with brute-force cross-checks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphinder_spark.ops import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    if not os.path.exists(f"{SF_DIR}/documents.parquet"):
+        pytest.skip("testdata not available")
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        pytest.skip("testdata not available")
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(documents):
+    out = dedup.exact_duplicates(documents, "text").cache()
+    n = documents.count()
+    assert out.count() == n
+    # keeper of each group is not a dup; group sizes reconstruct n
+    assert out.where(F.col("doc_id") == F.col("keep_id")).where(F.col("is_dup")).count() == 0
+    # cross-check: duplicate count == n - distinct texts
+    distinct_texts = documents.select("text").distinct().count()
+    assert out.where("is_dup").count() == n - distinct_texts
+
+
+def test_jaccard_pairs_bruteforce(spark, documents):
+    sample = documents.limit(60).cache()
+    pairs = dedup.jaccard_pairs(sample, "text", threshold=0.5).collect()
+    rows = sample.select("doc_id", "text").collect()
+    import re
+
+    toks = {r["doc_id"]: set(t for t in re.split(r"\W+", r["text"].lower()) if t) for r in rows}
+    ids = sorted(toks)
+    # blocking restricts candidates; every reported pair must be correct
+    for p in pairs:
+        a, b = toks[p["a_id"]], toks[p["b_id"]]
+        j = len(a & b) / max(1, len(a | b))
+        assert abs(j - p["jaccard"]) < 1e-4
+        assert j >= 0.5
+
+
+def test_minhash_estimates_jaccard(spark, documents):
+    sample = documents.limit(80)
+    pairs = dedup.minhash_lsh_pairs(sample, "text", threshold=0.6, num_perm=64, bands=16)
+    rows = pairs.collect()
+    # estimates must be within banding tolerance of the exact 3-shingle jaccard
+    import re
+    texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
+
+    def shingles(t):
+        toks = [x for x in re.split(r"\W+", t.lower()) if x]
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for r in rows:
+        a, b = shingles(texts[r["a_id"]]), shingles(texts[r["b_id"]])
+        exact = len(a & b) / max(1, len(a | b))
+        assert abs(exact - r["est_jaccard"]) < 0.35
+
+
+def test_simhash_self_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+            (3, "completely different content about spark inverted index construction"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, "text", max_hamming=12).collect()
+    found = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_embedding_dup_pairs(embeddings):
+    out = dedup.embedding_dup_pairs(embeddings, threshold=0.99)
+    for r in out.limit(5).collect():
+        assert r["cosine"] >= 0.99
+
+
+def test_cosine_topk_matches_bruteforce(spark, embeddings):
+    queries = (
+        embeddings.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    topk = similarity.cosine_topk(embeddings, queries, k=5).collect()
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in embeddings.collect()}
+    for qid in {r["query_id"] for r in topk}:
+        q = vecs[qid] / np.linalg.norm(vecs[qid])
+        sims = sorted(
+            ((float(np.dot(v / np.linalg.norm(v), q)), vid) for vid, v in vecs.items()),
+            key=lambda t: (-round(t[0], 6), t[1]),
+        )[:5]
+        got = sorted(
+            [(r["cosine"], r["vec_id"]) for r in topk if r["query_id"] == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [v for _, v in got] == [v for _, v in sims]
+
+
+def test_srp_lsh_recall(spark, embeddings):
+    queries = (
+        embeddings.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.srp_lsh_topk(embeddings, queries, k=5, n_bits=4, n_tables=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 6-table 4-bit SRP: OR-amplified recall
+    assert recall >= 0.6, recall
+
+
+def test_token_counts_and_quality(documents):
+    tc = textstats.token_counts(documents).cache()
+    row = tc.orderBy("doc_id").first()
+    first_text = documents.orderBy("doc_id").first()["text"]
+    import re
+
+    toks = [t for t in re.split(r"\W+", first_text.lower()) if t]
+    assert row["n_tokens"] == len(toks)
+    assert row["n_distinct"] == len(set(toks))
+    q = textstats.quality_scores(documents).first()
+    assert 0.0 <= q["alpha_ratio"] <= 1.0
+    assert 0.0 <= q["stopword_ratio"] <= 1.0
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "el gato esta en la casa y es un dia"),
+            (3, "der Hund ist nicht in der Kueche und das ist gut"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de"}
+
+
+def test_fingerprints_stable(documents):
+    a = {r["doc_id"]: r["fp64"] for r in textstats.fingerprints(documents.limit(20)).collect()}
+    b = {r["doc_id"]: r["fp64"] for r in textstats.fingerprints(documents.limit(20)).collect()}
+    assert a == b
+
+
+def test_multimodal_pipeline(spark):
+    media = multimodal.synthetic_media(spark, 32)
+    feats = multimodal.extract_features(media, fake=True).cache()
+    assert feats.count() == 32
+    row = feats.first()
+    assert len(row["features"]) == multimodal.FEATURE_DIM
+    assert len(row["sha256"]) == 64
+    # deterministic across reruns
+    again = multimodal.extract_features(media, fake=True)
+    assert feats.orderBy("media_id").collect() == again.orderBy("media_id").collect()
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    vids = media.where("kind = 'video'").count()
+    assert frames.count() == vids * 6  # 0..5000 step 1000
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
