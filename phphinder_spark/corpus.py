@@ -1,19 +1,20 @@
 """Deterministic synthetic source-code corpus with the input_hint shape
 ``(repo:string, path:string, commit:string, lang:string, content:string)``
-(BASELINE.json input_hint). Seeded, no wall clock, no unordered iteration —
-regenerating with the same seed and size is byte-identical, which the
-resume/determinism tests rely on.
+(BASELINE.json input_hint). Every row is derived from ``(seed, i)`` alone —
+no wall clock, no sequential RNG state — so generation is embarrassingly
+parallel AND byte-identical at any partitioning/parallelism, which the
+resume/determinism/scaling tests rely on.
 
 Token distribution is Zipf-ish with hot code keywords ("function",
-"return", "import", ...) appearing in almost every document — the skew case
-the north_rule calls out — plus per-doc rare identifiers for selective
-queries.
+"return", "import", ...) appearing in ~every document — the skew case the
+north_rule calls out — plus per-doc rare identifiers for selective queries.
 """
 
 from __future__ import annotations
 
 import hashlib
 import random
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,7 +31,13 @@ COMMON_TERMS = [
 ]
 
 
-def _doc_content(rng: random.Random, doc_idx: int) -> str:
+def make_row(i: int, seed: int = 42, n_docs: int = 0) -> tuple:
+    rng = random.Random(f"{seed}:{i}")
+    repo = f"org/repo-{i % max(1, (n_docs or 100) // 100)}"
+    lang = LANGS[i % len(LANGS)]
+    path = f"src/module_{i % 20}/file_{i}.{lang}"
+    commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+
     n_tokens = 40 + rng.randrange(160)
     toks: list[str] = []
     for _ in range(n_tokens):
@@ -41,35 +48,34 @@ def _doc_content(rng: random.Random, doc_idx: int) -> str:
             toks.append(rng.choice(COMMON_TERMS))
         else:
             toks.append(f"ident_{rng.randrange(5000)}")
-    # one globally-unique rare identifier per ~50 docs for selective queries
-    if doc_idx % 50 == 0:
-        toks.append(f"needle_{doc_idx}")
-    lines = []
-    for i in range(0, len(toks), 8):
-        lines.append(" ".join(toks[i : i + 8]))
-    return "\n".join(lines)
+    if i % 50 == 0:
+        toks.append(f"needle_{i}")
+    lines = [" ".join(toks[j : j + 8]) for j in range(0, len(toks), 8)]
+    content = "\n".join(lines)
+    return (repo, path, commit, lang, content)
 
 
 def generate_code_corpus_rows(n_docs: int, seed: int = 42) -> list[tuple]:
-    rng = random.Random(seed)
-    rows = []
-    for i in range(n_docs):
-        repo = f"org/repo-{i % max(1, n_docs // 100)}"
-        lang = LANGS[i % len(LANGS)]
-        path = f"src/module_{i % 20}/file_{i}.{lang}"
-        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
-        content = _doc_content(rng, i)
-        rows.append((repo, path, commit, lang, content))
-    return rows
+    return [make_row(i, seed, n_docs) for i in range(n_docs)]
 
 
 def generate_code_corpus(
     spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:
-    df = spark.createDataFrame(
-        generate_code_corpus_rows(n_docs, seed),
-        "repo string, path string, commit string, lang string, content string",
+    """Distributed generation: spark.range -> mapInPandas, one row per id.
+
+    Scales linearly with cores; per-row determinism is independent of the
+    partition layout."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_row(int(i), seed, n_docs) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    base = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return base.mapInPandas(
+        gen, "repo string, path string, commit string, lang string, content string"
     )
-    if partitions:
-        df = df.repartition(partitions)
-    return df
