@@ -1,0 +1,90 @@
+"""Benchmark harness (driver-run per round).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline query set (index build
+time reported separately as build_sec / build_docs_per_sec). Extra keys:
+per-phase metrics + the synthetic code-corpus build throughput used for the
+N-vs-4N scaling-efficiency evidence (see scripts/scaling.py + BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("phphinder-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    t0 = time.time()
+    eng = em._engine(spark, sf_dir)
+    n_docs = eng.index.docs.count()
+    n_postings = eng.index.postings.count()
+    build_sec = time.time() - t0
+
+    headline = [
+        "search_term",
+        "search_and",
+        "search_and_weights",
+        "search_not",
+        "search_prefix",
+        "search_phrase",
+        "search_typo",
+        "bm25_topk",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_jaccard",
+        "ann_topk",
+        "text_token_counts",
+    ]
+    qs = em.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        t = time.time()
+        rows[name] = len(qs[name](spark, sf_dir).collect())
+        times[name] = round(time.time() - t, 3)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline query set wall-clock (sf documents corpus)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "build_sec": round(build_sec, 3),
+        "build_docs_per_sec": round(n_docs / max(build_sec, 1e-9), 1),
+        "rows": rows,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Compressed posting-list segments: sorted, delta-gap + varint encoded,
+chunked, with per-row skip statistics (min/max doc_id) — the Spark
+replacement for the reference's sorted fixed-width JSON files with binary
+search (reference: src/Index/JsonStorage.php:209-301; SURVEY.md §4 item 1).
+
+Layout: one segment row per (field, term, chunk) where
+``chunk = doc_id // chunk_span`` bounds group size for hot terms (a
+10^12-doc posting list for "function" becomes many bounded chunks instead
+of one giant group — no single-task skew in encode, decode, or merge).
+Segment rows are written as Parquet sorted by (field, term, chunk) so
+row-group min/max statistics give O(log n)-style data skipping on term
+lookups — the distributed analogue of the reference's in-file binary
+search.
+
+Payload format (little-endian varints):
+    doc block: first_doc_id, then gaps (delta >= 1)
+    tf block:  tf per doc
+    pos block: per doc: n_positions, then position deltas
+Encode/decode run inside applyInPandas/mapInPandas (Arrow batches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+SEGMENT_SCHEMA = (
+    "field string, term string, chunk long, df long, cf long, "
+    "min_doc long, max_doc long, n_bytes long, payload binary"
+)
+
+POSTING_SCHEMA = (
+    "field string, term string, doc_id long, tf long, positions array<int>"
+)
+
+DEFAULT_CHUNK_SPAN = 1 << 20  # 1M doc ids per chunk
+
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def encode_posting_group(doc_ids, tfs, positions_list) -> bytes:
+    """Encode one (field, term, chunk) group; inputs sorted by doc_id."""
+    out = bytearray()
+    prev = None
+    for d in doc_ids:
+        _write_varint(out, d if prev is None else d - prev)
+        prev = d
+    for t in tfs:
+        _write_varint(out, t)
+    for pos in positions_list:
+        _write_varint(out, len(pos))
+        pprev = 0
+        for p in pos:
+            _write_varint(out, p - pprev)
+            pprev = p
+    return bytes(out)
+
+
+def decode_posting_group(payload: bytes, df: int):
+    doc_ids = []
+    pos = 0
+    acc = 0
+    for i in range(df):
+        v, pos = _read_varint(payload, pos)
+        acc = v if i == 0 else acc + v
+        doc_ids.append(acc)
+    tfs = []
+    for _ in range(df):
+        v, pos = _read_varint(payload, pos)
+        tfs.append(v)
+    positions = []
+    for _ in range(df):
+        n, pos = _read_varint(payload, pos)
+        cur = []
+        acc_p = 0
+        for _ in range(n):
+            v, pos = _read_varint(payload, pos)
+            acc_p += v
+            cur.append(acc_p)
+        positions.append(cur)
+    return doc_ids, tfs, positions
+
+
+def encode_segments(
+    postings: DataFrame, chunk_span: int = DEFAULT_CHUNK_SPAN
+) -> DataFrame:
+    """postings -> segment rows. Shuffles once on (field, term, chunk);
+    group size is bounded by chunk_span regardless of term hotness."""
+    with_chunk = postings.withColumn(
+        "chunk", F.floor(F.col("doc_id") / F.lit(chunk_span)).cast("long")
+    )
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        payload = encode_posting_group(
+            pdf["doc_id"].tolist(),
+            pdf["tf"].tolist(),
+            [list(p) for p in pdf["positions"]],
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "field": key[0],
+                    "term": key[1],
+                    "chunk": key[2],
+                    "df": len(pdf),
+                    "cf": int(pdf["tf"].sum()),
+                    "min_doc": int(pdf["doc_id"].min()),
+                    "max_doc": int(pdf["doc_id"].max()),
+                    "n_bytes": len(payload),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    return with_chunk.groupBy("field", "term", "chunk").applyInPandas(
+        encode, SEGMENT_SCHEMA
+    )
+
+
+def decode_segments(segments: DataFrame) -> DataFrame:
+    """segment rows -> postings (inverse of encode_segments)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs, positions = decode_posting_group(
+                    bytes(row.payload), int(row.df)
+                )
+                for d, t, p in zip(doc_ids, tfs, positions):
+                    out.append((row.field, row.term, d, t, p))
+            yield pd.DataFrame(
+                out, columns=["field", "term", "doc_id", "tf", "positions"]
+            )
+
+    return segments.mapInPandas(decode, POSTING_SCHEMA)
+
+
+def write_segments(segments: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Persist sorted by (field, term, chunk): Parquet row-group min/max on
+    ``term`` gives data skipping for point lookups."""
+    out = segments.repartitionByRange(
+        *( [n_files] if n_files else [] ), "field", "term"
+    ).sortWithinPartitions("field", "term", "chunk")
+    out.write.mode("overwrite").parquet(path)
+
+
+def read_term_postings(spark, path: str, field: str, term: str) -> DataFrame:
+    """Point lookup from the segment store: the (field, term) predicate is
+    pushed into the Parquet scan (row-group skipping via sorted layout)."""
+    seg = spark.read.parquet(path).where(
+        (F.col("field") == field) & (F.col("term") == term)
+    )
+    return decode_segments(seg)
+
+
+def merge_segment_dictionaries(segments: DataFrame) -> DataFrame:
+    """Global dictionary from chunked segments: hierarchical merge is a
+    partial-agg sum over chunk stats (never touches payloads)."""
+    return segments.groupBy("field", "term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.min("min_doc").alias("min_doc"),
+        F.max("max_doc").alias("max_doc"),
+        F.sum("n_bytes").alias("n_bytes"),
+    )

@@ -1,0 +1,124 @@
+"""Segment codec round-trip + compression, data-skipping lookup, and
+resumable-build equivalence after an injected crash."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphinder_spark.corpus import generate_code_corpus
+from phphinder_spark.index.builder import assign_doc_ids, build_postings
+from phphinder_spark.index.manifest import build_resumable_index
+from phphinder_spark.index.segments import (
+    decode_posting_group,
+    decode_segments,
+    encode_posting_group,
+    encode_segments,
+    merge_segment_dictionaries,
+    read_term_postings,
+    write_segments,
+)
+from phphinder_spark.schema import code_schema
+
+N_DOCS = 600
+
+
+@pytest.fixture(scope="module")
+def postings(spark):
+    corpus = generate_code_corpus(spark, N_DOCS, seed=7, partitions=4)
+    docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
+    return build_postings(docs, code_schema()).cache()
+
+
+def test_varint_roundtrip_unit():
+    doc_ids = [1, 2, 5, 1000, 1001, 999999, 10**12]
+    tfs = [1, 3, 2, 1, 7, 1, 2]
+    poss = [[0], [1, 5, 9], [2, 3], [100], [0, 1, 2, 3, 4, 5, 6], [7], [10, 20]]
+    payload = encode_posting_group(doc_ids, tfs, poss)
+    d, t, p = decode_posting_group(payload, len(doc_ids))
+    assert d == doc_ids and t == tfs and p == poss
+
+
+def test_segment_roundtrip_and_compression(spark, postings):
+    segments = encode_segments(postings, chunk_span=256).cache()
+    back = decode_segments(segments)
+    a = sorted(
+        (r["field"], r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in postings.collect()
+    )
+    b = sorted(
+        (r["field"], r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in back.collect()
+    )
+    assert a == b
+    # chunking: hot term spans multiple chunks with bounded df per chunk
+    hot = segments.where(
+        (F.col("field") == "content") & (F.col("term") == "function")
+    ).collect()
+    assert len(hot) >= 2
+    assert all(r["df"] <= 256 for r in hot)
+    # compression: payload bytes well under a naive 8B/doc_id + 8B/tf layout
+    naive = postings.select(
+        (F.lit(16) + F.size("positions") * 8).alias("b")
+    ).agg(F.sum("b")).collect()[0][0]
+    packed = segments.agg(F.sum("n_bytes")).collect()[0][0]
+    assert packed < naive / 3
+
+
+def test_segment_store_lookup(spark, postings, tmp_path):
+    seg_path = str(tmp_path / "segments")
+    write_segments(encode_segments(postings, chunk_span=256), seg_path)
+    hits = read_term_postings(spark, seg_path, "content", "needle_100")
+    rows = hits.collect()
+    assert len(rows) == 1
+    # dictionary merge equals direct df
+    seg = spark.read.parquet(seg_path)
+    d = merge_segment_dictionaries(seg)
+    got = {
+        (r["field"], r["term"]): r["df"]
+        for r in d.where(F.col("term").isin(["function", "needle_100"])).collect()
+    }
+    direct = {
+        (r["field"], r["term"]): r["count"]
+        for r in postings.where(F.col("term").isin(["function", "needle_100"]))
+        .groupBy("field", "term")
+        .count()
+        .collect()
+    }
+    assert got == direct
+
+
+def test_resumable_build_crash_equivalence(spark, tmp_path):
+    corpus = generate_code_corpus(spark, 300, seed=11, partitions=4).cache()
+    schema = code_schema()
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crashy")
+
+    m_clean = build_resumable_index(spark, corpus, schema, clean_dir, n_chunks=4)
+    assert m_clean["completed"]
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_resumable_index(
+            spark, corpus, schema, crash_dir, n_chunks=4, fail_after_chunks=2
+        )
+    m_partial = json.load(open(os.path.join(crash_dir, "manifest.json")))
+    assert not m_partial["completed"]
+    assert sum(1 for c in m_partial["chunks"].values() if c["done"]) == 2
+
+    m_resumed = build_resumable_index(spark, corpus, schema, crash_dir, n_chunks=4)
+    assert m_resumed["completed"]
+    # resume only built the remaining chunks
+    assert sum(1 for c in m_resumed["chunks"].values() if c["done"]) == 4
+
+    for sub in ["postings", "dictionary"]:
+        a = sorted(map(str, spark.read.parquet(f"{clean_dir}/{sub}").collect()))
+        b = sorted(map(str, spark.read.parquet(f"{crash_dir}/{sub}").collect()))
+        assert a == b, sub
+    sa = json.load(open(f"{clean_dir}/stats.json"))
+    sb = json.load(open(f"{crash_dir}/stats.json"))
+    sa.pop("finalize_sec"), sb.pop("finalize_sec")
+    assert sa == sb
+    # lineage + metrics recorded per chunk
+    for c in m_resumed["chunks"].values():
+        assert c["n_docs"] > 0 and c["sec"] >= 0 and "docs_per_sec" in c
