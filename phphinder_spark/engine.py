@@ -58,6 +58,12 @@ class _Ctx:
     def __init__(self) -> None:
         self._seq = 0
         self.events: list[tuple[int, str]] = []
+        # (transformed_term, field) -> hit?  Prefetched in one batch job by
+        # search_df so term leaves don't each run an existence-check job.
+        self.term_hits: dict[tuple[str, str], bool] | None = None
+        # top-level AND count filter, applied inside the finalize aggregate
+        # instead of an extra groupBy + semi-join (one less shuffle).
+        self.pending_and_count: int | None = None
 
     def next(self) -> int:
         self._seq += 1
@@ -196,7 +202,11 @@ class SparkSearchEngine:
         exact = post.where((F.col("term") == t) & F.col("field").isin(fields)).select(
             "doc_id", "field"
         )
-        if exact.limit(1).count() == 0:
+        if ctx.term_hits is not None:
+            has_exact = any(ctx.term_hits.get((t, f), False) for f in fields)
+        else:
+            has_exact = exact.limit(1).count() > 0
+        if not has_exact:
             exact = self._typo_candidates(t, fields)
         return self._attach(matches, exact, q.value, base_seq)
 
@@ -270,9 +280,11 @@ class SparkSearchEngine:
         ctx.events.append((ctx.next() * 1000, q.value))
         return out
 
-    def _compute(self, q, matches: DataFrame, ctx: _Ctx, phrase: str) -> DataFrame:
+    def _compute(
+        self, q, matches: DataFrame, ctx: _Ctx, phrase: str, top: bool = False
+    ) -> DataFrame:
         if isinstance(q, (AndQuery, OrQuery)) and not isinstance(q, NotQuery):
-            return self._group(q, matches, ctx, phrase)
+            return self._group(q, matches, ctx, phrase, top=top)
         if isinstance(q, NotQuery):
             excluded = self._compute(q.get_subquery(), self._empty_matches(), ctx, phrase)
             return matches.join(
@@ -288,19 +300,28 @@ class SparkSearchEngine:
             return matches
         return matches
 
-    def _group(self, q: GroupQuery, matches: DataFrame, ctx: _Ctx, phrase: str) -> DataFrame:
+    def _group(
+        self, q: GroupQuery, matches: DataFrame, ctx: _Ctx, phrase: str,
+        top: bool = False,
+    ) -> DataFrame:
         subs = sorted(q.subqueries, key=lambda s: s.priority)  # stable: NOT last
         for s in subs:
             matches = self._compute(s, matches, ctx, phrase)
         if isinstance(q, AndQuery):
             n_text = len([s for s in q.subqueries if isinstance(s, TextQuery)])
-            ok = (
-                matches.groupBy("doc_id")
-                .agg(F.countDistinct("qvalue").alias("c"))
-                .where(F.col("c") == n_text)
-                .select("doc_id")
-            )
-            matches = matches.join(ok, "doc_id", "left_semi")
+            if top:
+                # defer the count filter into the finalize aggregate — the
+                # distinct-terms count there is the same quantity, so the
+                # extra groupBy + semi-join shuffle is avoided
+                ctx.pending_and_count = n_text
+            else:
+                ok = (
+                    matches.groupBy("doc_id")
+                    .agg(F.countDistinct("qvalue").alias("c"))
+                    .where(F.col("c") == n_text)
+                    .select("doc_id")
+                )
+                matches = matches.join(ok, "doc_id", "left_semi")
             ctx.events.append((ctx.next() * 1000, phrase))
         return matches
 
@@ -337,6 +358,8 @@ class SparkSearchEngine:
             ).alias("fields"),
             F.min("seq").alias("min_seq"),
         )
+        if ctx.pending_and_count is not None:
+            agg = agg.where(F.size("terms") == ctx.pending_and_count)
         docs = self.index.docs
         out = agg.join(docs, "doc_id", "left")
 
@@ -373,8 +396,35 @@ class SparkSearchEngine:
             raise RuntimeError("no documents indexed")
         query = QueryParser(ANY_FIELD).parse(phrase)
         ctx = _Ctx()
-        matches = self._compute(query, self._empty_matches(), ctx, phrase)
+        ctx.term_hits = self._prefetch_term_hits(query)
+        matches = self._compute(query, self._empty_matches(), ctx, phrase, top=True)
         return self._finalize(query, matches, ctx, phrase)
+
+    def _prefetch_term_hits(self, query) -> dict[tuple[str, str], bool]:
+        """One batched dictionary probe for every term leaf in the AST —
+        replaces per-leaf existence-check jobs (the reference's lazy typo
+        fallback needs a hit count per term, SURVEY.md §4)."""
+        terms: set[str] = set()
+
+        def walk(q) -> None:
+            if isinstance(q, GroupQuery):
+                for s in q.subqueries:
+                    walk(s)
+            elif isinstance(q, TermQuery):
+                t = self.schema.analyzer.transform(q.value)
+                if t is not None:
+                    terms.add(str(t))
+
+        walk(query)
+        if not terms:
+            return {}
+        rows = (
+            self.index.postings.where(F.col("term").isin(list(terms)))
+            .select("term", "field")
+            .distinct()
+            .collect()
+        )
+        return {(r["term"], r["field"]): True for r in rows}
 
     def search(self, phrase: str) -> list[Result]:
         rows = self.search_df(phrase).collect()

@@ -148,7 +148,7 @@ class InvertedIndex:
     @property
     def dict_df(self) -> DataFrame:
         if self._dict is None:
-            self._dict = dictionary(self.postings)
+            self._dict = dictionary(self.postings).cache()
         return self._dict
 
     def stats(self) -> dict:
