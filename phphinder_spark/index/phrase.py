@@ -1,0 +1,77 @@
+"""Positional phrase matching from the (term, doc_id, positions) index —
+the scale path for phrase queries (north_star: "query-time AND/OR/phrase
+... from posting-list intersection").
+
+Semantics note (documented divergence): the index-only match is
+*token-exact* — every phrase token must appear at its aligned offset. The
+reference's fulltext operator (Q3) is a raw *substring* scan over stored
+text (src/Index/FileIndex.php:156-169), which also matches mid-token
+("spark tables" contains "spark table"). The engine therefore uses
+``phrase_candidates`` as a cheap index-side prefilter and keeps the
+substring verify on the stored field for exact reference parity:
+token-verified candidates are a subset of substring matches for
+word-boundary phrases, and candidates' stored text is re-checked with
+``F.contains`` either way (tests/test_blockmax_phrase.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def phrase_candidates(
+    postings: DataFrame, analyzed_terms: list[tuple[str, int]], field: str
+) -> DataFrame:
+    """Docs where each (term, offset) aligns to one anchor position.
+
+    ``analyzed_terms``: [(term, token_offset)] from the analyzer, offsets
+    relative to the first token. Plan: per-term position explode ->
+    anchor = pos - offset -> count distinct terms per (doc, anchor) == n.
+    Each per-term scan is a pushed-down term filter; the alignment check
+    is one aggregation on (doc_id, anchor)."""
+    spark = postings.sparkSession
+    if not analyzed_terms:
+        return spark.createDataFrame([], "doc_id long")
+    base = analyzed_terms[0][1]
+    n = len({t for t, _ in analyzed_terms})
+    parts = []
+    for i, (term, off) in enumerate(analyzed_terms):
+        parts.append(
+            postings.where((F.col("field") == field) & (F.col("term") == term))
+            .select("doc_id", F.explode("positions").alias("pos"))
+            .select(
+                "doc_id",
+                (F.col("pos") - F.lit(off - base)).alias("anchor"),
+                F.lit(term).alias("t"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("t").alias("c"))
+        .where(F.col("c") == n)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def phrase_match(
+    postings: DataFrame,
+    docs: DataFrame,
+    analyzer,
+    phrase: str,
+    field: str,
+    verify_substring: bool = True,
+) -> DataFrame:
+    """Index-accelerated phrase search: positional candidates + (optional)
+    substring verify on the stored field for reference-exact semantics."""
+    analyzed = [(str(t), p) for t, p in analyzer.analyze(phrase)]
+    cands = phrase_candidates(postings, analyzed, field)
+    if not verify_substring:
+        return cands
+    return (
+        cands.join(docs, "doc_id")
+        .where(F.col(field).contains(phrase))
+        .select("doc_id")
+    )

@@ -120,3 +120,132 @@ def bm25_topk(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk_blockmax(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    field: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    chunk_span: int = 1 << 20,
+) -> tuple[DataFrame, dict]:
+    """Block-max pruned BM25 top-k — the WAND-style scale path.
+
+    Exact (provably same top-k as ``bm25_topk``; asserted in tests):
+    1. Seed a threshold θ with the exact scores of docs containing the
+       rarest query term (cheapest candidate set).
+    2. Bound every other candidate doc by the sum of per-(term, chunk)
+       block-max contributions: idf·max_tf·(k1+1)/(max_tf+k1(1−b)) —
+       an upper bound since the BM25 tf-saturation term is increasing in
+       tf and decreasing in dl. Docs bounded below θ cannot enter the
+       top-k and are never exactly scored.
+    3. Exact-score the survivors, merge with the seed set, take top-k.
+
+    At 100TB the win is step 2: the bound join touches only postings +
+    broadcast chunk stats, and the expensive doclen join + per-doc exact
+    scoring runs on the pruned survivor set. Returns (topk_df, metrics).
+    """
+    terms = [str(t) for t in terms]
+    hits = postings.where(
+        (F.col("field") == field) & F.col("term").isin(terms)
+    ).withColumn("chunk", F.floor(F.col("doc_id") / F.lit(chunk_span)))
+    hits = hits.cache()
+    dl = doclens.where(F.col("field") == field).select("doc_id", "dl")
+
+    dfreq_rows = hits.groupBy("term").agg(F.count("*").alias("df")).collect()
+    if not dfreq_rows:
+        empty = postings.sparkSession.createDataFrame([], "doc_id long, score double")
+        return empty, {"pruned_fraction": 0.0, "candidates": 0, "scored": 0}
+    dfreq = {r["term"]: r["df"] for r in dfreq_rows}
+    idf = {t: bm25_idf(n_docs, dfreq[t]) for t in dfreq}
+
+    def exact_scores(cand_hits: DataFrame) -> DataFrame:
+        idf_col = F.create_map(
+            *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
+        )
+        return (
+            cand_hits.join(dl, "doc_id")
+            .withColumn(
+                "contrib",
+                idf_col[F.col("term")]
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        )
+
+    # 1. seed θ from the rarest terms' docs (expand by ascending df until
+    # the seed set can contain k docs — a single ultra-rare term alone
+    # yields θ=-inf and no pruning)
+    seed_terms: list[str] = []
+    cum = 0
+    for t in sorted(dfreq, key=lambda t: (dfreq[t], t)):
+        seed_terms.append(t)
+        cum += dfreq[t]
+        if cum >= k:
+            break
+    seed_ids = (
+        hits.where(F.col("term").isin(seed_terms)).select("doc_id").distinct()
+    )
+    seed_scores = exact_scores(
+        hits.join(F.broadcast(seed_ids), "doc_id", "left_semi")
+    ).cache()
+    kth = (
+        seed_scores.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    theta = kth[-1]["score"] if len(kth) >= k else float("-inf")
+
+    # 2. block-max bounds for non-seed candidates
+    chunk_stats = (
+        hits.groupBy("term", "chunk").agg(F.max("tf").alias("max_tf"))
+        .withColumn(
+            "ub",
+            F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])[
+                F.col("term")
+            ]
+            * F.col("max_tf")
+            * F.lit(k1 + 1.0)
+            / (F.col("max_tf") + F.lit(k1 * (1.0 - b))),
+        )
+        .select("term", "chunk", "ub")
+    )
+    bounded = (
+        hits.join(F.broadcast(chunk_stats), ["term", "chunk"])
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("bound"))
+        .join(seed_ids, "doc_id", "left_anti")
+    )
+    # 1e-6 slack absorbs the 6-dp rounding of θ (scores are compared rounded)
+    survivors = bounded.where(F.col("bound") >= theta - 1e-6).select("doc_id")
+
+    n_cands = bounded.count()
+    n_surv = survivors.count()
+
+    survivor_scores = exact_scores(
+        hits.join(survivors, "doc_id", "left_semi")
+    )
+    topk = (
+        seed_scores.unionByName(survivor_scores)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    metrics = {
+        "theta": theta,
+        "candidates": n_cands,
+        "scored": n_surv,
+        "pruned_fraction": round(1.0 - n_surv / max(n_cands, 1), 4),
+    }
+    return topk, metrics

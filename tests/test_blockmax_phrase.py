@@ -1,0 +1,96 @@
+"""Block-max pruned BM25 must equal the TakeOrderedAndProject oracle;
+positional phrase candidates must agree with brute-force token alignment
+and verified phrase results with the substring semantics."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphinder_spark.corpus import generate_code_corpus
+from phphinder_spark.engine import SparkSearchEngine
+from phphinder_spark.index.builder import assign_doc_ids
+from phphinder_spark.index.phrase import phrase_candidates, phrase_match
+from phphinder_spark.schema import code_schema
+from phphinder_spark.scoring import bm25_topk, bm25_topk_blockmax
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    corpus = generate_code_corpus(spark, N_DOCS, seed=5, partitions=8)
+    docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
+    e = SparkSearchEngine(spark, code_schema())
+    e.index_dataframe(docs)
+    return e
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["function return", "varint delta merge", "needle_100 segment", "broadcast"],
+)
+def test_blockmax_equals_bruteforce_topk(eng, query):
+    stats = eng.index.stats()
+    terms = [str(t) for t, _ in eng.schema.analyzer.analyze(query)]
+    brute = bm25_topk(
+        eng.index.postings, eng.index.doclens, terms, "content",
+        stats["n_docs"], stats["avgdl"]["content"], k=10,
+    )
+    pruned, metrics = bm25_topk_blockmax(
+        eng.index.postings, eng.index.doclens, terms, "content",
+        stats["n_docs"], stats["avgdl"]["content"], k=10, chunk_span=256,
+    )
+    assert [(r["doc_id"], r["score"]) for r in pruned.collect()] == [
+        (r["doc_id"], r["score"]) for r in brute.collect()
+    ]
+    assert metrics["candidates"] >= 0
+
+
+def test_blockmax_prunes_selective_query(eng):
+    stats = eng.index.stats()
+    # rare term + hot term: θ from the rare term prunes most hot-only docs
+    pruned, metrics = bm25_topk_blockmax(
+        eng.index.postings, eng.index.doclens, ["needle_100", "function"],
+        "content", stats["n_docs"], stats["avgdl"]["content"], k=5, chunk_span=64,
+    )
+    assert pruned.count() == 5
+    assert metrics["pruned_fraction"] > 0.5, metrics
+
+
+def test_phrase_candidates_bruteforce(spark, eng):
+    analyzed = [("varint", 0), ("delta", 1)]
+    got = {r["doc_id"] for r in
+           phrase_candidates(eng.index.postings, analyzed, "content").collect()}
+    docs = eng.index.docs.select("doc_id", "content").collect()
+    expect = set()
+    for r in docs:
+        toks = [t.lower() for t in re.split(r"\W+", r["content"]) if t]
+        for i in range(len(toks) - 1):
+            if toks[i] == "varint" and toks[i + 1] == "delta":
+                expect.add(r["doc_id"])
+                break
+    assert got == expect
+    assert expect  # non-trivial
+
+
+def test_phrase_match_verified_equals_substring_for_word_phrases(spark, eng):
+    phrase = "varint delta"
+    verified = {
+        r["doc_id"]
+        for r in phrase_match(
+            eng.index.postings, eng.index.docs, eng.schema.analyzer,
+            phrase, "content",
+        ).collect()
+    }
+    substr = {
+        r["doc_id"]
+        for r in eng.index.docs.where(F.col("content").contains(phrase))
+        .select("doc_id")
+        .collect()
+    }
+    # corpus content is "tok tok tok\n..." — substring matches can only
+    # occur at token boundaries joined by a space, and the substring verify
+    # removes cross-line candidates, so the sets coincide exactly
+    assert verified == substr
+    assert len(verified) > 0
