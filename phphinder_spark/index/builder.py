@@ -43,7 +43,21 @@ def _analyze_udf(analyzer: Analyzer, unique: bool):
 
     Unique fields bypass the transformer chain (reference:
     src/Index/AbstractStorage.php:114-119) but are still tokenized.
+    A lowercase-only chain takes a fast path (single regex split of the
+    pre-lowered string — identical output, ~2x fewer Python ops/token).
     """
+    from phphinder_spark.analysis.analyzers import (
+        LowerCaseTransformer,
+        _WORD_SPLIT,
+    )
+
+    lowercase_only = (
+        not unique
+        and len(analyzer.transformers) == 1
+        and type(analyzer.transformers[0]) is LowerCaseTransformer
+        and not analyzer.transformers[0].filters
+        and type(analyzer.tokenizer).__name__ == "RegexTokenizer"
+    )
 
     def analyze_batch(s: pd.Series) -> pd.Series:
         if unique:
@@ -52,6 +66,17 @@ def _analyze_udf(analyzer: Analyzer, unique: bool):
                 if v is None
                 else [(str(t), i) for i, t in enumerate(analyzer.tokenizer.apply(v))]
             )
+        if lowercase_only:
+            split = _WORD_SPLIT.split
+
+            def fast(v):
+                if v is None:
+                    return []
+                return [
+                    (t, i) for i, t in enumerate(tk for tk in split(v.lower()) if tk)
+                ]
+
+            return s.map(fast)
         return s.map(
             lambda v: []
             if v is None
@@ -171,36 +196,41 @@ class InvertedIndex:
         self.postings.unpersist()
 
 
-def assign_doc_ids(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    """Deterministic dense doc_id = global rank over ``order_cols``.
+def assign_doc_ids(df: DataFrame, order_cols: list[str], n_buckets: int = 1024) -> DataFrame:
+    """Deterministic dense doc_id (1..N), invariant to partitioning,
+    parallelism and plan re-computation.
 
-    NOT ``monotonically_increasing_id`` (partition-layout dependent) and NOT
-    a single-partition ``row_number`` window (a global Window.orderBy without
-    partitionBy funnels every row through one task — a 100TB non-starter).
-    Scale path: range-repartition + sortWithinPartitions, then per-partition
-    local ranks shifted by broadcast cumulative offsets. Ids depend only on
-    the total order, not on partition boundaries, so reruns at any
-    parallelism produce identical ids (north_rule determinism).
+    NOT ``monotonically_increasing_id`` (partition-layout dependent), NOT a
+    global ``row_number`` window (single-task funnel — a 100TB non-starter),
+    and NOT rank-after-``repartitionByRange`` (range boundaries are sampled,
+    so two materializations of the same plan can assign different ids — a
+    correctness bug this function previously had). Instead each row's bucket
+    is derived from the row itself (``xxhash64(order_cols) mod n_buckets``),
+    ranks are per-bucket windows ordered by ``order_cols``, and bucket
+    offsets are exact cumulative counts — every term in the id is a pure
+    function of row content, so any re-computation yields identical ids.
+    Ids are dense 1..N but not globally sorted by ``order_cols`` (sorted
+    only within a bucket); determinism is the contract (north_rule).
     """
     from pyspark.sql.window import Window
 
-    sdf = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    sdf = sdf.withColumn("_pid", F.spark_partition_id())
-    counts = sdf.groupBy("_pid").count().collect()
+    bucket = F.pmod(F.xxhash64(*order_cols), F.lit(n_buckets)).cast("int")
+    sdf = df.withColumn("_b", bucket)
+    counts = sdf.groupBy("_b").count().collect()
     offsets = {}
     acc = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
+    for row in sorted(counts, key=lambda r: r["_b"]):
+        offsets[row["_b"]] = acc
         acc += row["count"]
     offset_df = sdf.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        [(b, off) for b, off in offsets.items()], "_b int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    w = Window.partitionBy("_b").orderBy(*order_cols)
     return (
         sdf.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(offset_df), "_pid")
+        .join(F.broadcast(offset_df), "_b")
         .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_b", "_rn", "_off")
     )
 
 
