@@ -98,6 +98,7 @@ class SparkSearchEngine:
         :69-82 — old doc's id is reused, its postings removed)."""
         if not self._buffer:
             return
+        self._ensure_max_id()
         rows, self._buffer = self._buffer, []
         for doc in rows:
             for req in self.schema.required_fields:
@@ -155,10 +156,17 @@ class SparkSearchEngine:
         self.index.postings.cache().count()
 
     def index_dataframe(self, df: DataFrame) -> None:
-        """Bulk build (the scale path). ``df`` must carry ``doc_id``."""
+        """Bulk build (the scale path). ``df`` must carry ``doc_id``.
+
+        Lazy: nothing materializes until the first query/count; ``_max_id``
+        (needed only by the interactive flush path) is fetched on demand."""
         self.index = build_index(df, self.schema).cache()
-        row = self.index.docs.agg(F.max("doc_id").alias("m")).collect()[0]
-        self._max_id = row["m"] or 0
+        self._max_id = -1
+
+    def _ensure_max_id(self) -> None:
+        if self._max_id < 0 and self.index is not None:
+            row = self.index.docs.agg(F.max("doc_id").alias("m")).collect()[0]
+            self._max_id = row["m"] or 0
 
     # ------------------------------------------------------------------ read
 
@@ -467,9 +475,14 @@ class SparkSearchEngine:
 
     def search_topk_bm25(
         self, phrase: str, k: int = 10, field: str | None = None,
-        k1: float = 1.2, b: float = 0.75,
+        k1: float = 1.2, b: float = 0.75, strategy: str = "exhaustive",
     ) -> DataFrame:
-        """BM25 disjunctive top-k (north_star primary scorer)."""
+        """BM25 disjunctive top-k (north_star primary scorer).
+
+        ``strategy='exhaustive'`` is Catalyst's TakeOrderedAndProject over
+        all matching docs; ``strategy='blockmax'`` is the pruned path
+        (scoring.bm25_topk_blockmax) — identical results by construction,
+        cheaper when rare terms bound the threshold."""
         if self.index is None:
             raise RuntimeError("no documents indexed")
         analyzer = self.schema.analyzer
@@ -485,6 +498,14 @@ class SparkSearchEngine:
             field = candidates[0]
         stats = self.index.stats()
         avgdl = stats["avgdl"].get(field, 1.0)
+        if strategy == "blockmax":
+            from phphinder_spark.scoring import bm25_topk_blockmax
+
+            topk, _metrics = bm25_topk_blockmax(
+                self.index.postings, self.index.doclens, terms, field,
+                stats["n_docs"], avgdl, k, k1, b,
+            )
+            return topk
         return bm25_topk(
             self.index.postings,
             self.index.doclens,

@@ -216,19 +216,18 @@ def assign_doc_ids(df: DataFrame, order_cols: list[str], n_buckets: int = 1024) 
 
     bucket = F.pmod(F.xxhash64(*order_cols), F.lit(n_buckets)).cast("int")
     sdf = df.withColumn("_b", bucket)
-    counts = sdf.groupBy("_b").count().collect()
-    offsets = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_b"]):
-        offsets[row["_b"]] = acc
-        acc += row["count"]
-    offset_df = sdf.sparkSession.createDataFrame(
-        [(b, off) for b, off in offsets.items()], "_b int, _off long"
+    # offsets = exclusive prefix sum over the n_buckets-row count table —
+    # a single-partition window over <= n_buckets rows, fully lazy (no
+    # driver action), then broadcast back onto the data
+    counts = sdf.groupBy("_b").count()
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_off")
     )
     w = Window.partitionBy("_b").orderBy(*order_cols)
     return (
         sdf.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(offset_df), "_b")
+        .join(F.broadcast(offsets), "_b")
         .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_b", "_rn", "_off")
     )

@@ -28,7 +28,7 @@ cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling-{cpus}")
-    .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+    .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "24g")
@@ -39,7 +39,8 @@ from phphinder_spark.engine import SparkSearchEngine
 from phphinder_spark.index.builder import assign_doc_ids
 from phphinder_spark.schema import code_schema
 
-corpus = generate_code_corpus(spark, n_docs, seed=42, partitions=4 * cpus)
+corpus = generate_code_corpus(spark, n_docs, seed=42, partitions=2 * cpus).cache()
+corpus.count()  # materialize generation outside the timed build
 t0 = time.time()
 docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
 eng = SparkSearchEngine(spark, code_schema())

@@ -94,3 +94,12 @@ def test_phrase_match_verified_equals_substring_for_word_phrases(spark, eng):
     # removes cross-line candidates, so the sets coincide exactly
     assert verified == substr
     assert len(verified) > 0
+
+def test_engine_strategy_parity(eng):
+    a = eng.search_topk_bm25("varint delta merge", k=8, field="content").collect()
+    b = eng.search_topk_bm25(
+        "varint delta merge", k=8, field="content", strategy="blockmax"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
