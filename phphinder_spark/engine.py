@@ -168,6 +168,22 @@ class SparkSearchEngine:
             row = self.index.docs.agg(F.max("doc_id").alias("m")).collect()[0]
             self._max_id = row["m"] or 0
 
+    @classmethod
+    def from_index_dir(
+        cls, spark: SparkSession, out_dir: str, schema: SearchSchema
+    ) -> "SparkSearchEngine":
+        """Serve from a persisted index built by
+        ``index.manifest.build_resumable_index``: docs + chunked postings
+        parquet (term/field predicates push into the scans; the compressed
+        segment store stays available for point lookups via
+        ``index.segments.read_term_postings``)."""
+        eng = cls(spark, schema)
+        docs = spark.read.parquet(f"{out_dir}/docs")
+        postings = spark.read.parquet(f"{out_dir}/postings")
+        eng.index = InvertedIndex(schema, docs, postings)
+        eng._max_id = -1
+        return eng
+
     # ------------------------------------------------------------------ read
 
     def _empty_matches(self) -> DataFrame:

@@ -122,3 +122,28 @@ def test_resumable_build_crash_equivalence(spark, tmp_path):
     # lineage + metrics recorded per chunk
     for c in m_resumed["chunks"].values():
         assert c["n_docs"] > 0 and c["sec"] >= 0 and "docs_per_sec" in c
+
+
+def test_engine_from_persisted_index(spark, tmp_path):
+    """Serve path: an engine loaded from a manifest-built directory answers
+    queries identically to the in-memory engine over the same corpus."""
+    from phphinder_spark.engine import SparkSearchEngine
+
+    corpus = generate_code_corpus(spark, 400, seed=13, partitions=4).cache()
+    schema = code_schema()
+    out = str(tmp_path / "served")
+    build_resumable_index(spark, corpus, schema, out, n_chunks=4)
+
+    mem = SparkSearchEngine(spark, schema)
+    mem.index_dataframe(assign_doc_ids(corpus, ["repo", "path", "commit"]))
+    served = SparkSearchEngine.from_index_dir(spark, out, schema)
+
+    for q in ["function return", "needle_100", "lang:py", "varint OR delta"]:
+        a = sorted(r["doc_id"] for r in mem.search_df(q).collect())
+        b = sorted(r["doc_id"] for r in served.search_df(q).collect())
+        assert a == b, q
+    ta = [(r["doc_id"], r["score"]) for r in
+          mem.search_topk_bm25("varint delta", k=5, field="content").collect()]
+    tb = [(r["doc_id"], r["score"]) for r in
+          served.search_topk_bm25("varint delta", k=5, field="content").collect()]
+    assert ta == tb
