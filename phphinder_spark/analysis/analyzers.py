@@ -23,12 +23,14 @@ import re
 from collections.abc import Iterable
 
 from phphinder_spark.analysis.porter2 import stem
+from phphinder_spark.analysis.stopwords_all import STOPWORDS_BY_LANG
 from phphinder_spark.analysis.stopwords_en import STOPWORDS_EN
 
 _WORD_SPLIT = re.compile(r"\W+", re.UNICODE)
 _SYMBOL = re.compile(r"[^a-zA-Z0-9]+")
 
-STOPWORDS = {"en": STOPWORDS_EN}
+STOPWORDS = dict(STOPWORDS_BY_LANG)
+STOPWORDS["en"] = STOPWORDS_EN
 
 
 class RegexTokenizer:
