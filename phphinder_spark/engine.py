@@ -168,6 +168,36 @@ class SparkSearchEngine:
             row = self.index.docs.agg(F.max("doc_id").alias("m")).collect()[0]
             self._max_id = row["m"] or 0
 
+    def search_topk_bm25_many(
+        self, phrases: list[str], k: int = 10, field: str | None = None,
+        k1: float = 1.2, b: float = 0.75,
+    ) -> DataFrame:
+        """Batched BM25 top-k: all queries share one plan/job — the
+        throughput path (per-query jobs pay fixed scheduler latency).
+        Returns (query_id = the phrase, doc_id, score, rank)."""
+        if self.index is None:
+            raise RuntimeError("no documents indexed")
+        analyzer = self.schema.analyzer
+        qmap: dict[str, list[str]] = {}
+        for phrase in phrases:
+            terms = []
+            for tok in analyzer.tokenizer.apply(phrase):
+                t = analyzer.transform(tok)
+                if t is not None and t != "":
+                    terms.append(str(t))
+            qmap[phrase] = terms
+        if field is None:
+            field = [
+                f for f in self.schema.indexed_fields if not self.schema.is_unique(f)
+            ][0]
+        stats = self.index.stats()
+        from phphinder_spark.scoring import bm25_topk_batch
+
+        return bm25_topk_batch(
+            self.index.postings, self.index.doclens, qmap, field,
+            stats["n_docs"], stats["avgdl"].get(field, 1.0), k, k1, b,
+        )
+
     @classmethod
     def from_index_dir(
         cls, spark: SparkSession, out_dir: str, schema: SearchSchema

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 ANY_FIELD = "*"
 
@@ -120,6 +120,61 @@ def bm25_topk(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk_batch(
+    postings: DataFrame,
+    doclens: DataFrame,
+    queries: dict[str, list[str]],
+    field: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries in one plan.
+
+    Per-query Spark jobs pay fixed scheduling latency; a query batch joins
+    all (query_id, term) pairs against the postings once and ranks per
+    query with a window — total cost ~= one query's job for the whole
+    batch. Returns (query_id, doc_id, score, rank)."""
+    spark = postings.sparkSession
+    pairs = [(qid, str(t)) for qid, ts in queries.items() for t in ts]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+    qdf = spark.createDataFrame(pairs, "query_id string, term string")
+    hits = postings.where(F.col("field") == field).join(
+        F.broadcast(qdf.select("term").distinct()), "term"
+    )
+    dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens.where(F.col("field") == field).select("doc_id", "dl"), "doc_id")
+        .withColumn(
+            "contrib",
+            bm25_score_components(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("dl").cast("double"),
+                n_docs,
+                avgdl,
+                k1,
+                b,
+            ),
+        )
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
 
 
 def bm25_topk_blockmax(

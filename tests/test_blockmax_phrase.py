@@ -103,3 +103,15 @@ def test_engine_strategy_parity(eng):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b
     ]
+
+
+def test_batched_bm25_matches_per_query(eng):
+    phrases = ["varint delta merge", "function return", "needle_100"]
+    batch = eng.search_topk_bm25_many(phrases, k=5, field="content").collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for p in phrases:
+        single = eng.search_topk_bm25(p, k=5, field="content").collect()
+        expect = [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(single)]
+        assert sorted(got[p]) == expect, p
