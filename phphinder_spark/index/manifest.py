@@ -148,6 +148,7 @@ def build_resumable_index(
         os.path.join(out_dir, "dictionary")
     )
     doclens = postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
+    doclens.write.mode("overwrite").parquet(os.path.join(out_dir, "doclens"))
     avgdl = {
         r["field"]: r["avgdl"]
         for r in doclens.groupBy("field").agg(F.avg("dl").alias("avgdl")).collect()

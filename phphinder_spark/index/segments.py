@@ -178,6 +178,59 @@ def read_term_postings(spark, path: str, field: str, term: str) -> DataFrame:
     return decode_segments(seg)
 
 
+def segment_bm25_topk(
+    spark,
+    index_dir: str,
+    terms: list[str],
+    field: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served straight from the compressed segment store.
+
+    Reads only the matching terms' segment rows (predicate pushdown on the
+    sorted store), decodes those payloads, joins the persisted doclens and
+    the dictionary's global df — the cold-serving path where the
+    uncompressed postings table is not resident."""
+    import json
+    import os
+
+    from phphinder_spark.scoring import bm25_score_components
+
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        stats = json.load(fh)
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).where(
+        (F.col("field") == field) & F.col("term").isin([str(t) for t in terms])
+    )
+    postings = decode_segments(seg)
+    dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary")).where(
+        (F.col("field") == field) & F.col("term").isin([str(t) for t in terms])
+    )
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens")).where(
+        F.col("field") == field
+    )
+    scored = (
+        postings.join(F.broadcast(dictionary.select("term", "df")), "term")
+        .join(doclens.select("doc_id", "dl"), "doc_id")
+        .withColumn(
+            "contrib",
+            bm25_score_components(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("dl").cast("double"),
+                stats["n_docs"],
+                stats["avgdl"][field],
+                k1,
+                b,
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def merge_segment_dictionaries(segments: DataFrame) -> DataFrame:
     """Global dictionary from chunked segments: hierarchical merge is a
     partial-agg sum over chunk stats (never touches payloads)."""

@@ -1,0 +1,61 @@
+"""Property-based tests (hypothesis): codec round-trips, parser
+robustness, stemmer safety — no Spark session needed."""
+
+from hypothesis import given, settings, strategies as st
+
+from phphinder_spark.analysis.porter2 import stem
+from phphinder_spark.functions.idencoder import base62_decode, base62_encode
+from phphinder_spark.index.segments import (
+    decode_posting_group,
+    encode_posting_group,
+)
+from phphinder_spark.query.parser import QueryParser
+
+
+@st.composite
+def posting_groups(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    gaps = draw(st.lists(st.integers(1, 10**6), min_size=n, max_size=n))
+    doc_ids = []
+    acc = draw(st.integers(0, 10**12))
+    for g in gaps:
+        acc += g
+        doc_ids.append(acc)
+    tfs = draw(st.lists(st.integers(1, 10**4), min_size=n, max_size=n))
+    positions = [
+        sorted(set(draw(st.lists(st.integers(0, 10**5), min_size=1, max_size=8))))
+        for _ in range(n)
+    ]
+    return doc_ids, tfs, positions
+
+
+@settings(max_examples=200, deadline=None)
+@given(posting_groups())
+def test_varint_codec_roundtrip(group):
+    doc_ids, tfs, positions = group
+    payload = encode_posting_group(doc_ids, tfs, positions)
+    d, t, p = decode_posting_group(payload, len(doc_ids))
+    assert d == doc_ids and t == tfs and p == positions
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=10**15))
+def test_base62_roundtrip(n):
+    assert base62_decode(base62_encode(n)) == n
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=80))
+def test_parser_never_crashes(q):
+    # any input parses to some AST with a printable string form
+    ast = QueryParser("*").parse(q)
+    assert isinstance(ast.to_string(), str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=30))
+def test_stemmer_total_and_shrinking(w):
+    out = stem(w)
+    assert isinstance(out, str)
+    # Porter2 never grows a word by more than the +e restorations
+    assert len(out) <= len(w) + 1

@@ -147,3 +147,24 @@ def test_engine_from_persisted_index(spark, tmp_path):
     tb = [(r["doc_id"], r["score"]) for r in
           served.search_topk_bm25("varint delta", k=5, field="content").collect()]
     assert ta == tb
+
+
+def test_segment_served_bm25(spark, tmp_path):
+    """Cold-serving: BM25 from the compressed segment store equals the
+    in-memory scorer."""
+    from phphinder_spark.engine import SparkSearchEngine
+    from phphinder_spark.index.segments import segment_bm25_topk
+
+    corpus = generate_code_corpus(spark, 400, seed=17, partitions=4).cache()
+    schema = code_schema()
+    out = str(tmp_path / "cold")
+    build_resumable_index(spark, corpus, schema, out, n_chunks=4, chunk_span=128)
+
+    eng = SparkSearchEngine(spark, schema)
+    eng.index_dataframe(assign_doc_ids(corpus, ["repo", "path", "commit"]))
+    terms = ["varint", "delta", "merge"]
+    mem = eng.search_topk_bm25("varint delta merge", k=8, field="content").collect()
+    cold = segment_bm25_topk(spark, out, terms, "content", k=8).collect()
+    assert [(r["doc_id"], r["score"]) for r in cold] == [
+        (r["doc_id"], r["score"]) for r in mem
+    ]
