@@ -21,7 +21,7 @@ import json
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
-from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
 
 from phphinder_spark.functions.typo import levenshtein_distance_for_term
 from phphinder_spark.index.builder import InvertedIndex, build_index, build_postings
@@ -113,10 +113,21 @@ class SparkSearchEngine:
         replaced_ids: list[int] = []
         existing_by_uniq: dict[Any, int] = {}
         if uniq and self.index is not None:
-            existing_by_uniq = {
-                r[uniq]: r["doc_id"]
-                for r in self.index.docs.select(uniq, "doc_id").collect()
-            }
+            # probe by broadcast-joining the batch's keys against the index —
+            # the collected result is bounded by the BATCH size, never the
+            # index size (reference getUniqueDocument probe, scale-correct)
+            keys = sorted({doc[uniq] for doc in rows if doc.get(uniq) is not None})
+            if keys:
+                kdf = self.spark.createDataFrame(
+                    [(k,) for k in keys],
+                    T.StructType([T.StructField(uniq, self.schema.spark_type(uniq))]),
+                )
+                existing_by_uniq = {
+                    r[uniq]: r["doc_id"]
+                    for r in self.index.docs.join(F.broadcast(kdf), uniq, "left_semi")
+                    .select(uniq, "doc_id")
+                    .collect()
+                }
         batch_by_uniq: dict[Any, int] = {}
         for doc in rows:
             key = doc.get(uniq) if uniq else None
