@@ -77,6 +77,19 @@ def main() -> None:
         rows[name] = len(df.collect()) if name in small else df.count()
         times[name] = round(time.time() - t, 3)
 
+    # throughput/pruning variants (not part of the headline total)
+    t = time.time()
+    batch_terms = [
+        "spark table", "vector merge", "filter join", "query window",
+        "sort hash", "batch stream", "row column", "data value",
+        "small fast", "key order",
+    ]
+    eng.search_topk_bm25_many(batch_terms, k=10, field="text").collect()
+    batched_sec = round(time.time() - t, 3)
+    t = time.time()
+    eng.search_topk_bm25("spark table vector", k=20, field="text", strategy="blockmax").collect()
+    blockmax_sec = round(time.time() - t, 3)
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "headline query set wall-clock (sf documents corpus)",
@@ -89,6 +102,8 @@ def main() -> None:
         "n_postings": n_postings,
         "build_sec": round(build_sec, 3),
         "build_docs_per_sec": round(n_docs / max(build_sec, 1e-9), 1),
+        "bm25_batched_10q_sec": batched_sec,
+        "bm25_blockmax_sec": blockmax_sec,
         "rows": rows,
     }
     print(json.dumps(result))
