@@ -118,6 +118,36 @@ def _q_bm25(spark, sf_dir):
     )
 
 
+def _q_phrase_positional(spark, sf_dir):
+    """Positional-index phrase candidates + substring verify (scale path
+    for phrase queries; same result as the contains scan)."""
+    from phphinder_spark.index.phrase import phrase_match
+
+    eng = _engine(spark, sf_dir)
+    return phrase_match(
+        eng.index.postings, eng.index.docs, eng.schema.analyzer,
+        "spark table", "text",
+    ).select("doc_id")
+
+
+def _q_bm25_blockmax(spark, sf_dir):
+    """Block-max pruned BM25 — must equal the exhaustive top-k (and the
+    same SQL oracle validates both paths independently)."""
+    return _engine(spark, sf_dir).search_topk_bm25(
+        "spark table vector", k=20, field="text", strategy="blockmax"
+    )
+
+
+_BATCH_PHRASES = ["spark table", "vector merge", "filter join"]
+
+
+def _q_bm25_batched(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return eng.search_topk_bm25_many(_BATCH_PHRASES, k=10, field="text").select(
+        "query_id", "doc_id", "score"
+    )
+
+
 def _q_doc_freq(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     return (
@@ -251,7 +281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": _q_phrase,
         "search_field": _q_field,
         "search_typo": _q_typo,
+        "search_phrase_positional": _q_phrase_positional,
         "bm25_topk": _q_bm25,
+        "bm25_topk_blockmax": _q_bm25_blockmax,
+        "bm25_batched": _q_bm25_batched,
         "index_doc_freq": _q_doc_freq,
         "index_doclens": _q_doclens,
         "dedup_exact": _q_dedup_exact,
@@ -283,8 +316,12 @@ def _term_match(term: str) -> str:
     )
 
 
-def oracle_sql() -> dict[str, str]:
-    bm25 = """
+def _bm25_sql(terms: list[str], k: int, query_id: str | None = None) -> str:
+    """ANSI BM25 over `documents.text` for one term set; optionally tagged
+    with a literal query_id column (for the batched variant)."""
+    term_list = ",".join(f"'{t}'" for t in terms)
+    qcol = f"'{query_id}' AS query_id, " if query_id is not None else ""
+    return """
 WITH toks AS (
   SELECT doc_id, {toks} AS ts FROM documents
 ), stats AS (
@@ -292,11 +329,11 @@ WITH toks AS (
 ), tf AS (
   SELECT doc_id, tok AS term, count(*) AS tf
   FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
-  WHERE tok IN ('spark','table','vector') GROUP BY 1,2
+  WHERE tok IN ({terms}) GROUP BY 1,2
 ), dfreq AS (
   SELECT term, count(*) AS df FROM tf GROUP BY 1
 ), dl AS (SELECT doc_id, len(ts) AS dl FROM toks)
-SELECT doc_id, score FROM (
+SELECT {qcol}doc_id, score FROM (
   SELECT tf.doc_id AS doc_id,
          round(sum( ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
                     * tf.tf * 2.2
@@ -305,8 +342,16 @@ SELECT doc_id, score FROM (
   JOIN dfreq ON tf.term = dfreq.term
   JOIN dl ON tf.doc_id = dl.doc_id
   GROUP BY tf.doc_id
-) ORDER BY score DESC, doc_id LIMIT 20
-""".format(toks=_TOKS)
+) ORDER BY score DESC, doc_id LIMIT {k}
+""".format(toks=_TOKS, terms=term_list, k=k, qcol=qcol)
+
+
+def oracle_sql() -> dict[str, str]:
+    bm25 = _bm25_sql(["spark", "table", "vector"], 20)
+    bm25_batched = "\nUNION ALL\n".join(
+        "SELECT * FROM ({q})".format(q=_bm25_sql(p.split(), 10, query_id=p))
+        for p in _BATCH_PHRASES
+    )
 
     typo = """
 WITH words AS (
@@ -383,7 +428,12 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
         ),
         "search_field": "SELECT doc_id FROM documents WHERE lower(lang) = 'es'",
         "search_typo": typo,
+        "search_phrase_positional": (
+            "SELECT doc_id FROM documents WHERE contains(text, 'spark table')"
+        ),
         "bm25_topk": bm25,
+        "bm25_topk_blockmax": bm25,
+        "bm25_batched": bm25_batched,
         "index_doc_freq": (
             "SELECT tok AS term, count(DISTINCT doc_id) AS df FROM ("
             f"SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents) "
