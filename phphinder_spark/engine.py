@@ -166,6 +166,15 @@ class SparkSearchEngine:
         self.index.docs.cache().count()
         self.index.postings.cache().count()
 
+    def truncate(self) -> None:
+        """Drop the index (reference Storage::truncate,
+        src/Index/AbstractStorage.php:47-64)."""
+        if self.index is not None:
+            self.index.unpersist()
+        self.index = None
+        self._buffer = []
+        self._max_id = 0
+
     def index_dataframe(self, df: DataFrame) -> None:
         """Bulk build (the scale path). ``df`` must carry ``doc_id``.
 

@@ -195,3 +195,34 @@ def test_documentation_example(spark):
     results = results_engine.search("Hello")
     assert len(results) == 1
     assert results[0].document["title"] == "Hi"
+
+
+def test_truncate(spark):
+    eng = SparkSearchEngine(spark, make_test_schema())
+    eng.add_document({"_id": 1, "title": "Hi", "text": "Hello world!"})
+    eng.flush()
+    assert len(eng.search("Hello")) == 1
+    eng.truncate()
+    eng.add_document({"_id": 1, "title": "Hi", "text": "Goodbye!"})
+    eng.flush()
+    assert eng.search("Hello") == []
+    assert len(eng.search("goodbye")) == 1
+
+
+def test_multilanguage_analyzer_end_to_end(spark):
+    from phphinder_spark.analysis import Analyzer, LowerCaseTransformer, StopWordsFilter
+    from phphinder_spark.schema import IS_INDEXED, IS_STORED, SearchSchema
+
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED},
+        analyzer=Analyzer(
+            transformers=[LowerCaseTransformer("es", [StopWordsFilter("es")])]
+        ),
+        name="es_schema",
+    )
+    eng = SparkSearchEngine(spark, schema)
+    eng.add_document({"text": "el gato come pescado"})
+    eng.flush()
+    # 'el' is a Spanish stop word: dropped at index AND query time
+    assert eng.find_docs_by_index("el") == {"text": []}
+    assert eng.find_docs_by_index("gato") == {"text": [1]}
