@@ -243,7 +243,13 @@ def _q_lang_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        # avg derived from the exact integer sum/count in ONE division so
+        # Spark and the oracle divide the same two longs — float summation
+        # order cannot differ (fixes the r01 agg_lang_stats hash mismatch)
+        .withColumn(
+            "avg_chars",
+            F.round(F.col("sum_chars") / F.col("n_docs"), 6),
         )
     )
 
@@ -362,17 +368,17 @@ WITH words AS (
 SELECT DISTINCT doc_id FROM words WHERE levenshtein(tok, 'sparq') <= 1
 """.format(toks=_TOKS)
 
+    # UNBLOCKED brute force — certifies that the engine's lossless geometric
+    # size-band blocking finds every pair above threshold, not merely the
+    # pairs its own blocking admits
     jaccard = """
 WITH base AS (
-  SELECT doc_id AS id,
-         list_distinct({toks}) AS toks,
-         CAST(floor(len(list_distinct({toks})) / 10) AS INT) AS blk
-  FROM documents
+  SELECT doc_id AS id, list_distinct({toks}) AS toks FROM documents
 )
 SELECT a.id AS a_id, b.id AS b_id,
        round(len(list_intersect(a.toks, b.toks))
              / greatest(len(list_distinct(a.toks || b.toks)), 1), 6) AS jaccard
-FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+FROM base a JOIN base b ON a.id < b.id
 WHERE round(len(list_intersect(a.toks, b.toks))
             / greatest(len(list_distinct(a.toks || b.toks)), 1), 6) >= 0.7
 """.format(toks=_TOKS)
@@ -460,7 +466,8 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
         ),
         "agg_lang_stats": (
             "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
-            "round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY lang"
+            "round(sum(n_chars) / count(*), 6) AS avg_chars "
+            "FROM documents GROUP BY lang"
         ),
         "corpus_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         # dedup_minhash / dedup_simhash / ann_srp / text_langid /

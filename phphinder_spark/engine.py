@@ -116,7 +116,17 @@ class SparkSearchEngine:
             # probe by broadcast-joining the batch's keys against the index —
             # the collected result is bounded by the BATCH size, never the
             # index size (reference getUniqueDocument probe, scale-correct)
-            keys = sorted({doc[uniq] for doc in rows if doc.get(uniq) is not None})
+            # coerce to the declared key type: the collected index values are
+            # post-ingest-coercion, so an int passed for a string-typed key
+            # must probe as its string form (verified end-to-end: without
+            # this, replacement silently no-ops and the old doc survives)
+            keys = sorted(
+                {
+                    self.schema.coerce_value(uniq, doc[uniq])
+                    for doc in rows
+                    if doc.get(uniq) is not None
+                }
+            )
             if keys:
                 kdf = self.spark.createDataFrame(
                     [(k,) for k in keys],
@@ -130,10 +140,14 @@ class SparkSearchEngine:
                 }
         batch_by_uniq: dict[Any, int] = {}
         for doc in rows:
-            key = doc.get(uniq) if uniq else None
+            key = self.schema.coerce_value(uniq, doc.get(uniq)) if uniq else None
             if uniq and key is not None and key in existing_by_uniq:
                 doc_id = existing_by_uniq[key]
                 replaced_ids.append(doc_id)
+                # same key may appear twice in one batch: last write wins
+                # (reference updates in place per row), so drop any earlier
+                # assignment of this reused id
+                assigned = [(i, d) for i, d in assigned if i != doc_id]
             elif uniq and key is not None and key in batch_by_uniq:
                 doc_id = batch_by_uniq[key]
                 assigned = [(i, d) for i, d in assigned if i != doc_id]

@@ -32,16 +32,21 @@ def phrase_candidates(
     if not analyzed_terms:
         return spark.createDataFrame([], "doc_id long")
     base = analyzed_terms[0][1]
-    n = len({t for t, _ in analyzed_terms})
+    # every (term, offset) SLOT must align to the same anchor — counting
+    # distinct terms alone over-matches phrases with repeated tokens
+    # ("red fish red" must not accept "red fish blue")
+    slots = sorted({(t, off - base) for t, off in analyzed_terms})
+    n = len(slots)
     parts = []
-    for i, (term, off) in enumerate(analyzed_terms):
+    for term, off in slots:
         parts.append(
             postings.where((F.col("field") == field) & (F.col("term") == term))
             .select("doc_id", F.explode("positions").alias("pos"))
             .select(
                 "doc_id",
-                (F.col("pos") - F.lit(off - base)).alias("anchor"),
+                (F.col("pos") - F.lit(off)).alias("anchor"),
                 F.lit(term).alias("t"),
+                F.lit(off).alias("off"),
             )
         )
     allp = parts[0]
@@ -49,7 +54,7 @@ def phrase_candidates(
         allp = allp.unionByName(p)
     return (
         allp.groupBy("doc_id", "anchor")
-        .agg(F.countDistinct("t").alias("c"))
+        .agg(F.countDistinct("t", "off").alias("c"))
         .where(F.col("c") == n)
         .select("doc_id")
         .distinct()

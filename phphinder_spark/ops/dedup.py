@@ -44,25 +44,54 @@ def jaccard_pairs(
     threshold: float = 0.8,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard >= threshold pairs (a_id < b_id), candidates
-    restricted to a blocking bucket (default: token-count band) so the
-    self-join never goes quadratic in the corpus."""
+    """EXACT token-set Jaccard >= threshold pairs (a_id < b_id).
+
+    Default blocking is a *lossless* geometric size band: J(a,b) >= t
+    implies |b|/|a| <= 1/t, i.e. |ln|a| - ln|b|| <= ln(1/t), so with
+    g = floor(ln(size)/ln(1/t)) any qualifying pair satisfies
+    |g_a - g_b| <= 1. Side A emits its own band; side B emits g±2 (the
+    extra ±1 is a float-rounding safety margin) — every true pair meets in
+    at least one band, so the result equals the unblocked brute force
+    (the DuckDB oracle IS the unblocked brute force at small sf).
+
+    Scale note: the band join bounds duplication at a constant 5x, but a
+    corpus where most docs share a size band still goes quadratic within
+    the band — at 100 TB route candidates through ``minhash_lsh_pairs``
+    and exact-verify (same output contract), or pass a semantic
+    ``block_col`` (cluster/shard id)."""
     toks = F.array_distinct(_tokens(col))
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    if block_col is not None:
-        base = base.withColumn("blk", df[block_col])
-    else:
-        base = base.withColumn("blk", (F.size("toks") / 10).cast("int"))
-    a = base.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), "blk")
-    b = base.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks"), "blk")
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     union = F.size(F.array_union("a_toks", "b_toks"))
+    if block_col is not None:
+        base = base.withColumn("blk", df[block_col])
+        a = base.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), "blk")
+        b = base.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks"), "blk")
+        cand = a.join(b, "blk")
+    elif threshold >= 1.0:
+        # J = 1 forces equal sizes: band on the exact distinct-token count
+        base = base.withColumn("blk", F.size("toks"))
+        a = base.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), "blk")
+        b = base.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks"), "blk")
+        cand = a.join(b, "blk")
+    else:
+        log_ratio = float(-__import__("math").log(threshold))
+        g = F.floor(F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double")) / F.lit(log_ratio))
+        a = base.select(
+            F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), g.alias("blk")
+        )
+        b = base.select(
+            F.col("id").alias("b_id"),
+            F.col("toks").alias("b_toks"),
+            F.explode(F.array(*[g + F.lit(d) for d in (-2, -1, 0, 1, 2)])).alias("blk"),
+        )
+        cand = a.join(b, "blk")
     return (
-        a.join(b, "blk")
-        .where(F.col("a_id") < F.col("b_id"))
+        cand.where(F.col("a_id") < F.col("b_id"))
         .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+        .distinct()
     )
 
 

@@ -81,6 +81,23 @@ class SearchSchema:
     def spark_type(self, field: str) -> T.DataType:
         return _SPARK_TYPES[self.types[field]]
 
+    def coerce_value(self, field: str, value):
+        """Coerce a Python value to this field's declared type — the same
+        coercion Spark applies on ingest, so driver-side key lookups (e.g.
+        the unique-key upsert probe) compare like with like."""
+        if value is None:
+            return None
+        t = self.types[field]
+        if t == "string":
+            return value if isinstance(value, str) else str(value)
+        if t in ("long", "int"):
+            return int(value)
+        if t == "double":
+            return float(value)
+        if t == "bool":
+            return bool(value)
+        return value
+
     def to_struct_type(self, include_doc_id: bool = True) -> T.StructType:
         out = []
         if include_doc_id:

@@ -140,7 +140,9 @@ def bm25_topk_batch(
     query with a window — total cost ~= one query's job for the whole
     batch. Returns (query_id, doc_id, score, rank)."""
     spark = postings.sparkSession
-    pairs = [(qid, str(t)) for qid, ts in queries.items() for t in ts]
+    # set semantics per query: a repeated term must contribute once (same as
+    # the single-query path, where `isin` dedups), so dedupe the pairs
+    pairs = sorted({(qid, str(t)) for qid, ts in queries.items() for t in ts})
     if not pairs:
         return spark.createDataFrame(
             [], "query_id string, doc_id long, score double, rank int"
