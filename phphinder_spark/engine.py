@@ -75,9 +75,19 @@ class RequiredFieldError(ValueError):
 
 
 class SparkSearchEngine:
-    def __init__(self, spark: SparkSession, schema: SearchSchema):
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: SearchSchema,
+        typo_strategy: str = "ngram",
+    ):
         self.spark = spark
         self.schema = schema
+        if typo_strategy not in ("ngram", "scan"):
+            raise ValueError(
+                f"typo_strategy must be 'ngram' or 'scan', got {typo_strategy!r}"
+            )
+        self.typo_strategy = typo_strategy
         self.index: InvertedIndex | None = None
         self._buffer: list[dict] = []
         self._max_id = 0
@@ -299,19 +309,30 @@ class SparkSearchEngine:
         return self._attach(matches, exact, q.value, base_seq)
 
     def _typo_candidates(self, t: str, fields: list[str]) -> DataFrame:
-        """Length-banded dictionary prefilter + exact Levenshtein — same
-        final semantics as the reference's state-set automaton + refilter
-        (src/Index/AbstractStorage.php:182-205, SURVEY.md Q5)."""
+        """Same final semantics as the reference's state-set automaton +
+        refilter (src/Index/AbstractStorage.php:182-205, SURVEY.md Q5).
+
+        Default = the scale path: bigram posting index over dictionary
+        terms (provably lossless for the reference's d=1/len>=5, d=2/len>=9
+        thresholds — index/typo_ngram.py), probed by the query's grams,
+        then length band + exact Levenshtein verify. O(matching grams)
+        instead of O(|dictionary|) per query. ``typo_strategy='scan'``
+        keeps the full-dictionary scan for equivalence testing."""
         d = levenshtein_distance_for_term(t)
         empty = self.spark.createDataFrame([], "doc_id long, field string")
         if d == 0:
             return empty
-        cand = (
-            self.index.dict_df.where(F.col("field").isin(fields))
-            .where(F.abs(F.length("term") - F.lit(len(t))) <= d)
-            .where(F.levenshtein(F.col("term"), F.lit(t)) <= d)
-            .select("field", "term")
-        )
+        if self.typo_strategy == "ngram":
+            from phphinder_spark.index.typo_ngram import typo_candidate_terms
+
+            cand = typo_candidate_terms(self.index.ngram_df, t, fields)
+        else:
+            cand = (
+                self.index.dict_df.where(F.col("field").isin(fields))
+                .where(F.abs(F.length("term") - F.lit(len(t))) <= d)
+                .where(F.levenshtein(F.col("term"), F.lit(t)) <= d)
+                .select("field", "term")
+            )
         return (
             self.index.postings.join(F.broadcast(cand), ["field", "term"])
             .select("doc_id", "field")
@@ -338,6 +359,22 @@ class SparkSearchEngine:
         )
         return self._attach(matches, rows, q.value, base_seq)
 
+    def _positional_faithful(self) -> bool:
+        """True when index terms are the original tokens lowercased with
+        nothing dropped — the precondition for the index-side fulltext
+        prefilter (stemming breaks suffix matching; stopword/None drops
+        break position alignment)."""
+        from phphinder_spark.analysis.analyzers import (
+            LowerCaseTransformer,
+            RegexTokenizer,
+        )
+
+        a = self.schema.analyzer
+        return type(a.tokenizer) is RegexTokenizer and all(
+            type(t) is LowerCaseTransformer and not t.filters
+            for t in a.transformers
+        )
+
     def _leaf_fulltext(self, q: FullTextQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
         if q.field == ANY_FIELD:
             # stored + fulltext fields only (reference
@@ -349,9 +386,32 @@ class SparkSearchEngine:
             fields = [f for f in [q.field] if f in self.schema.fields]
         base_seq = ctx.next()
         docs = self.index.docs
+        analyzed = (
+            [(str(t), p) for t, p in self.schema.analyzer.analyze(q.value)]
+            if self._positional_faithful()
+            else []
+        )
         parts = []
         for f in fields:
             if f not in docs.columns:
+                continue
+            if (
+                analyzed
+                and f in self.schema.indexed_fields
+                and not self.schema.is_unique(f)
+            ):
+                # scale path: positional-index candidates (superset of
+                # substring matches, see index/phrase.fulltext_candidates)
+                # + case-sensitive contains verify on the candidates ONLY —
+                # never a full stored-corpus substring scan
+                from phphinder_spark.index.phrase import fulltext_candidates
+
+                cands = fulltext_candidates(self.index.postings, analyzed, f)
+                parts.append(
+                    cands.join(docs.select("doc_id", f), "doc_id")
+                    .where(F.col(f).contains(q.value))
+                    .select("doc_id", F.lit(f).alias("field"))
+                )
                 continue
             parts.append(
                 docs.where(F.col(f).contains(q.value)).select(

@@ -168,6 +168,7 @@ class InvertedIndex:
         self.postings = postings
         self.doclens = build_doclens(postings)
         self._dict = None
+        self._ngram = None
         self._stats = None
 
     @property
@@ -175,6 +176,17 @@ class InvertedIndex:
         if self._dict is None:
             self._dict = dictionary(self.postings).cache()
         return self._dict
+
+    @property
+    def ngram_df(self) -> DataFrame:
+        """Bigram posting index over dictionary TERMS — built once, cached;
+        the typo path probes it by gram instead of scanning the whole
+        dictionary per query (index/typo_ngram.py)."""
+        if self._ngram is None:
+            from phphinder_spark.index.typo_ngram import build_ngram_index
+
+            self._ngram = build_ngram_index(self.dict_df).cache()
+        return self._ngram
 
     def stats(self) -> dict:
         if self._stats is None:

@@ -61,6 +61,60 @@ def phrase_candidates(
     )
 
 
+def fulltext_candidates(
+    postings: DataFrame, analyzed_terms: list[tuple[str, int]], field: str
+) -> DataFrame:
+    """Index-side candidate docs for a raw SUBSTRING phrase query — a
+    provable superset of ``docs.where(col.contains(phrase))`` matches when
+    the index analyzer is drop-free lowercase (engine gates on that).
+
+    Why superset: if the text contains the phrase at some char position,
+    the phrase's ``\\W+`` tokens map onto CONSECUTIVE text tokens where the
+    first text token may extend left ("xspark table" contains "spark
+    table"), the last may extend right ("spark tables"), and every middle
+    token matches exactly — so slot 0 matches by suffix, slot n-1 by
+    prefix, middles by equality, all anchor-aligned. A single-token phrase
+    relaxes both sides (dictionary ``contains`` scan — still a dictionary
+    scan, never a corpus scan). The engine re-verifies candidates with the
+    case-sensitive ``contains`` for exact reference semantics."""
+    spark = postings.sparkSession
+    n = len(analyzed_terms)
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long")
+    fp = postings.where(F.col("field") == field)
+    if n == 1:
+        t = analyzed_terms[0][0]
+        return fp.where(F.col("term").contains(t)).select("doc_id").distinct()
+    base = analyzed_terms[0][1]
+    parts = []
+    for i, (t, off) in enumerate(analyzed_terms):
+        if i == 0:
+            cond = F.col("term").endswith(t)
+        elif i == n - 1:
+            cond = F.col("term").startswith(t)
+        else:
+            cond = F.col("term") == t
+        parts.append(
+            fp.where(cond)
+            .select("doc_id", F.explode("positions").alias("pos"))
+            .select(
+                "doc_id",
+                (F.col("pos") - F.lit(off - base)).alias("anchor"),
+                F.lit(i).alias("slot"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("slot").alias("c"))
+        .where(F.col("c") == n)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def phrase_match(
     postings: DataFrame,
     docs: DataFrame,

@@ -190,6 +190,7 @@ def bm25_topk_blockmax(
     k1: float = 1.2,
     b: float = 0.75,
     chunk_span: int = 1 << 20,
+    collect_metrics: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Block-max pruned BM25 top-k — the WAND-style scale path.
 
@@ -288,8 +289,16 @@ def bm25_topk_blockmax(
     # 1e-6 slack absorbs the 6-dp rounding of θ (scores are compared rounded)
     survivors = bounded.where(F.col("bound") >= theta - 1e-6).select("doc_id")
 
-    n_cands = bounded.count()
-    n_surv = survivors.count()
+    metrics = {"theta": theta}
+    if collect_metrics:
+        # two extra actions — diagnostics only, keep them out of the hot path
+        n_cands = bounded.count()
+        n_surv = survivors.count()
+        metrics.update(
+            candidates=n_cands,
+            scored=n_surv,
+            pruned_fraction=round(1.0 - n_surv / max(n_cands, 1), 4),
+        )
 
     survivor_scores = exact_scores(
         hits.join(survivors, "doc_id", "left_semi")
@@ -299,10 +308,10 @@ def bm25_topk_blockmax(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
-    metrics = {
-        "theta": theta,
-        "candidates": n_cands,
-        "scored": n_surv,
-        "pruned_fraction": round(1.0 - n_surv / max(n_cands, 1), 4),
-    }
-    return topk, metrics
+    # the plan is already eager (θ needs a collect), so materialize the ≤k
+    # result rows and release the caches — no cache leak across queries
+    rows = topk.collect()
+    out = postings.sparkSession.createDataFrame(rows, topk.schema)
+    hits.unpersist()
+    seed_scores.unpersist()
+    return out, metrics

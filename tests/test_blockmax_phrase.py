@@ -40,6 +40,7 @@ def test_blockmax_equals_bruteforce_topk(eng, query):
     pruned, metrics = bm25_topk_blockmax(
         eng.index.postings, eng.index.doclens, terms, "content",
         stats["n_docs"], stats["avgdl"]["content"], k=10, chunk_span=256,
+        collect_metrics=True,
     )
     assert [(r["doc_id"], r["score"]) for r in pruned.collect()] == [
         (r["doc_id"], r["score"]) for r in brute.collect()
@@ -53,6 +54,7 @@ def test_blockmax_prunes_selective_query(eng):
     pruned, metrics = bm25_topk_blockmax(
         eng.index.postings, eng.index.doclens, ["needle_100", "function"],
         "content", stats["n_docs"], stats["avgdl"]["content"], k=5, chunk_span=64,
+        collect_metrics=True,
     )
     assert pruned.count() == 5
     assert metrics["pruned_fraction"] > 0.5, metrics

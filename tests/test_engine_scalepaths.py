@@ -1,0 +1,126 @@
+"""The engine's wired scale paths must be observationally identical to the
+reference-semantics scans they replace:
+
+- fulltext leaf: positional-index candidates + contains verify == full
+  stored-corpus substring scan (adversarial cases: left/right token
+  extension, separator mismatch, case, punctuation phrases).
+- typo leaf: n-gram dictionary probe == full dictionary scan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphinder_spark.analysis import Analyzer
+from phphinder_spark.engine import SparkSearchEngine
+from phphinder_spark.schema import (
+    IS_FULLTEXT,
+    IS_INDEXED,
+    IS_STORED,
+    SearchSchema,
+)
+
+DOCS = [
+    (1, "spark table join"),          # plain match
+    (2, "xspark table join"),         # left extension: contains but 1st token differs
+    (3, "spark tables are nice"),     # right extension
+    (4, "spark, table"),              # adjacent tokens, separator mismatch: NOT substring
+    (5, "Spark Table"),               # case: lower index candidate, verify rejects
+    (6, "sparkxtable"),               # single-token infix host
+    (7, "spark  table"),              # double space: NOT substring of "spark table"... but IS host of none
+    (8, "a spark table b"),           # interior
+    (9, "completely unrelated words"),
+    (10, "spark"),                    # partial phrase only
+]
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+        analyzer=Analyzer.lowercase_only(),
+    )
+    e = SparkSearchEngine(spark, schema)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    e.index_dataframe(df)
+    return e
+
+
+PHRASES = [
+    "spark table",
+    "park tab",       # spans two tokens with both-side extension
+    "ark",            # single-token infix
+    "spark,",         # trailing punctuation in the phrase
+    "spark  table",   # multi-space separator
+    "Spark Table",    # case-sensitive phrase
+    "—",              # no word chars at all -> scan fallback
+    "spark, table",
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_fulltext_leaf_equals_substring_scan(eng, phrase, monkeypatch):
+    """New prefilter path vs forced full-scan path, both through the same
+    parser (the parser sanitizes quoted phrases — reference quirk F7 — so
+    raw `contains` on the unparsed phrase is not the comparison point)."""
+    got = {r.doc_id for r in eng.search(f'"{phrase}"')}
+    monkeypatch.setattr(
+        type(eng), "_positional_faithful", lambda self: False
+    )
+    expect = {r.doc_id for r in eng.search(f'"{phrase}"')}
+    assert got == expect, phrase
+
+
+def test_fulltext_leaf_equals_raw_substring_scan(eng):
+    """For a clean word phrase the parsed value is the phrase itself, so
+    the end-to-end result must equal the raw substring scan."""
+    got = {r.doc_id for r in eng.search('"spark table"')}
+    expect = {
+        r["doc_id"]
+        for r in eng.index.docs.where(F.col("text").contains("spark table")).collect()
+    }
+    # 2 and 3 match by token extension: "xspark table", "spark tables"
+    assert got == expect == {1, 2, 3, 8}
+
+
+def test_fulltext_uses_prefilter_not_corpus_scan(eng):
+    """The wired plan must not substring-scan the stored corpus: the
+    docs-side filter in the plan is a join on candidate doc_ids."""
+    q = eng.search_df('"spark table"')
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    # the contains() verify runs post-join; there must be no Filter with
+    # Contains directly over the docs relation without a preceding join
+    assert "Join" in plan
+
+
+def test_stemmed_analyzer_falls_back_to_scan(spark):
+    """Non-positional-faithful analyzers (stemming/stopwords) must keep the
+    exact reference scan semantics."""
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+        analyzer=Analyzer.default("en"),
+    )
+    e = SparkSearchEngine(spark, schema)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    e.index_dataframe(df)
+    got = {r.doc_id for r in e.search('"spark table"')}
+    expect = {
+        r["doc_id"]
+        for r in e.index.docs.where(F.col("text").contains("spark table")).collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.parametrize("term", ["sparq", "tabel", "joib", "xx"])
+def test_typo_ngram_path_equals_dict_scan(spark, term):
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+        analyzer=Analyzer.lowercase_only(),
+    )
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    e_ngram = SparkSearchEngine(spark, schema, typo_strategy="ngram")
+    e_ngram.index_dataframe(df)
+    e_scan = SparkSearchEngine(spark, schema, typo_strategy="scan")
+    e_scan.index_dataframe(df)
+    a = {r.doc_id for r in e_ngram.search(term)}
+    b = {r.doc_id for r in e_scan.search(term)}
+    assert a == b, term
