@@ -80,7 +80,10 @@ class SparkSearchEngine:
         spark: SparkSession,
         schema: SearchSchema,
         typo_strategy: str = "ngram",
+        storage=None,
     ):
+        from phphinder_spark.index.storage import MemoryStorage
+
         self.spark = spark
         self.schema = schema
         if typo_strategy not in ("ngram", "scan"):
@@ -88,9 +91,19 @@ class SparkSearchEngine:
                 f"typo_strategy must be 'ngram' or 'scan', got {typo_strategy!r}"
             )
         self.typo_strategy = typo_strategy
+        # transactional owner of (docs, postings) — MERGE-commit seam
+        # (index/storage.py: MemoryStorage | ParquetSnapshotStorage |
+        # IcebergStorage), mirroring the reference Storage SPI
+        # (src/Index/Storage.php:14-164)
+        self.storage = storage or MemoryStorage(spark)
         self.index: InvertedIndex | None = None
         self._buffer: list[dict] = []
         self._max_id = 0
+        if not self.storage.is_empty:
+            self.index = InvertedIndex(
+                self.schema, self.storage.docs(), self.storage.postings()
+            ).cache()
+            self._max_id = -1
 
     # ------------------------------------------------------------------ write
 
@@ -176,25 +189,29 @@ class SparkSearchEngine:
         new_df = self.spark.createDataFrame(data, struct)
         new_index = build_index(new_df.withColumn("doc_id", F.col("doc_id")), self.schema)
 
-        if self.index is None:
-            self.index = new_index
-        else:
-            drop = set(replaced_ids) | {i for i, _ in assigned}
-            keep_docs = self.index.docs.where(~F.col("doc_id").isin(list(drop)))
-            keep_post = self.index.postings.where(~F.col("doc_id").isin(list(drop)))
-            self.index = InvertedIndex(
-                self.schema,
-                keep_docs.unionByName(new_index.docs),
-                keep_post.unionByName(new_index.postings),
-            )
-        self.index.docs.cache().count()
-        self.index.postings.cache().count()
+        if self.storage.is_empty and self.index is not None:
+            # index came from a bulk load (index_dataframe/from_index_dir):
+            # seed the storage with it so the MERGE commit has a base
+            self.storage.commit(self.index.docs, self.index.postings, [])
+        self.storage.commit(new_index.docs, new_index.postings, sorted(set(replaced_ids)))
+        self._refresh_index()
+
+    def _refresh_index(self) -> None:
+        """Re-open the index over the storage's current snapshot. The plan
+        depth is bounded by the STORAGE (lineage-cut checkpoint or snapshot
+        files), not by the number of flushes since startup."""
+        if self.index is not None:
+            self.index.unpersist()
+        self.index = InvertedIndex(
+            self.schema, self.storage.docs(), self.storage.postings()
+        ).cache()
 
     def truncate(self) -> None:
         """Drop the index (reference Storage::truncate,
         src/Index/AbstractStorage.php:47-64)."""
         if self.index is not None:
             self.index.unpersist()
+        self.storage.truncate()
         self.index = None
         self._buffer = []
         self._max_id = 0
