@@ -180,11 +180,13 @@ def _q_dedup_jaccard(spark, sf_dir):
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _documents(spark, sf_dir), "text", threshold=0.6
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id", "jaccard")
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_documents(spark, sf_dir), "text", max_hamming=6)
+    return dedup.simhash_pairs(
+        _documents(spark, sf_dir), "text", max_hamming=6
+    ).select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_dedup_embedding(spark, sf_dir):
@@ -262,7 +264,7 @@ def _q_sha256(spark, sf_dir):
 
 
 def _q_langid(spark, sf_dir):
-    return textstats.language_id(_documents(spark, sf_dir))
+    return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
 
 def _q_fingerprint(spark, sf_dir):
@@ -403,7 +405,113 @@ FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """
 
+    # ---- cross-engine hash oracles: same md5_number_lower-derived hashes,
+    # same MinHash coefficients, same banding — value-identical by design
+    from phphinder_spark.ops.dedup import minhash_coeffs
+    from phphinder_spark.ops.textstats import lang_profiles
+
+    H31 = "CAST(md5_number_lower({x}) % 2147483647 AS BIGINT)"
+    mins = ",\n    ".join(
+        "list_min(list_transform(hs, h -> (CAST({a} AS BIGINT)*h + {b}) % 2147483647))".format(
+            a=a, b=b
+        )
+        for a, b in minhash_coeffs(64, 42)
+    )
+    minhash = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(len({toks})-2, 1)+1),
+           i -> array_to_string(list_slice({toks}, i, i+2), ' '))) AS sh
+  FROM documents
+), hv AS (
+  SELECT id, sh, list_transform(sh, s -> {h31}) AS hs FROM base
+), sig AS (
+  SELECT id, sh, [{mins}] AS sig FROM hv
+), bands AS (
+  SELECT id, b AS band, array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS key
+  FROM sig, range(0, 16) t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM bands a JOIN bands b USING (band, key) WHERE a.id < b.id
+)
+SELECT a_id, b_id,
+       round(len(list_intersect(sa.sh, sb.sh))
+             / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+FROM cand JOIN sig sa ON sa.id = a_id JOIN sig sb ON sb.id = b_id
+WHERE round(len(list_intersect(sa.sh, sb.sh))
+            / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) >= 0.6
+""".format(toks=_TOKS, h31=H31.format(x="s"), mins=mins)
+
+    simhash = """
+WITH d AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+tok AS (SELECT id, unnest(toks) AS t FROM d),
+bits AS (
+  SELECT id, b,
+         sum(CASE WHEN (md5_number_lower(t) >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM tok, range(0, 64) r(b) GROUP BY id, b
+), sh AS (
+  SELECT id, sum(CASE WHEN acc > 0 THEN
+           (CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE CAST(2**b AS BIGINT) END) ELSE 0 END) AS sh
+  FROM bits GROUP BY id
+), allsh AS (
+  -- sum() yields HUGEINT; bit_count/xor must run on 64-bit two's
+  -- complement to match Spark, so pin the type here
+  SELECT d.id, CAST(coalesce(sh.sh, 0) AS BIGINT) AS sh
+  FROM d LEFT JOIN sh ON d.id = sh.id
+), chunk AS (
+  SELECT id, CAST(b // 9 AS INT) AS ci,
+         sum(CASE WHEN acc > 0 THEN CAST(2**(b % 9) AS BIGINT) ELSE 0 END) AS cv
+  FROM bits WHERE b < 63 GROUP BY 1, 2
+), chunkfull AS (
+  SELECT d.id, r.b AS ci, coalesce(c.cv, 0) AS cv
+  FROM d CROSS JOIN range(0, 7) r(b)
+  LEFT JOIN chunk c ON c.id = d.id AND c.ci = r.b
+), cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM chunkfull a JOIN chunkfull b ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+FROM cand JOIN allsh sa ON sa.id = a_id JOIN allsh sb ON sb.id = b_id
+WHERE bit_count(xor(sa.sh, sb.sh)) <= 6
+""".format(toks=_TOKS)
+
+    profile_rows = ",\n    ".join(
+        "('{lang}', [{words}])".format(
+            lang=lang, words=",".join(f"'{w}'" for w in words)
+        )
+        for lang, words in lang_profiles(50).items()
+    )
+    langid = """
+WITH toks AS (SELECT doc_id, list_distinct({toks}) AS ts FROM documents),
+prof AS (SELECT * FROM (VALUES
+    {rows}
+) p(lang, words)),
+hits AS (
+  SELECT doc_id, lang, len(list_intersect(ts, words)) AS h
+  FROM toks CROSS JOIN prof
+), ranked AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+  FROM hits
+)
+SELECT doc_id,
+       CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(CASE WHEN h > 0 THEN h ELSE 0 END AS BIGINT) AS lang_hits
+FROM ranked WHERE rn = 1
+""".format(toks=_TOKS, rows=profile_rows)
+
+    fingerprint = (
+        "SELECT doc_id, coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({_TOKS}, t -> {H31.format(x='t')})), "
+        "(acc, x) -> (acc*1000003 + x) % 2147483647), 0) AS fp FROM documents"
+    )
+
     return {
+        "dedup_minhash": minhash,
+        "dedup_simhash": simhash,
+        "text_langid": langid,
+        "text_fingerprint": fingerprint,
         "search_term": f"SELECT doc_id FROM documents WHERE {_term_match('spark')}",
         "search_and": (
             "SELECT doc_id FROM documents WHERE "
@@ -470,7 +578,6 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
             "FROM documents GROUP BY lang"
         ),
         "corpus_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
-        # dedup_minhash / dedup_simhash / ann_srp / text_langid /
-        # text_fingerprint / multimodal_features: hash-function-specific or
-        # stub-backed — rows-only checks (no SQL-equivalent oracle).
+        # ann_srp / multimodal_features: float-plane-dependent or
+        # binary-payload-backed — rows-only checks (no SQL oracle).
     }

@@ -15,7 +15,6 @@ Scale notes (the whole point of these designs):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 _TOKEN_SPLIT = r"\W+"
@@ -95,40 +94,30 @@ def jaccard_pairs(
     )
 
 
-def _minhash_udf(num_perm: int, shingle_k: int, seed: int):
-    """Vectorized MinHash signatures: k-word shingles -> crc32 -> affine
-    permutations over a Mersenne prime."""
+def minhash_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients over the Mersenne
+    prime 2^31-1 — shared by the Spark plan AND the generated DuckDB
+    oracle SQL, so signatures are value-identical across engines."""
+    from phphinder_spark.functions.hashing import MERSENNE31
+
     rng = np.random.RandomState(seed)
-    prime = (1 << 61) - 1
-    a = rng.randint(1, prime, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, prime, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, MERSENNE31, size=num_perm).tolist()
+    b = rng.randint(0, MERSENNE31, size=num_perm).tolist()
+    return list(zip(a, b))
 
-    @F.pandas_udf("array<long>")
-    def sig_udf(s: pd.Series) -> pd.Series:
-        import re
-        import zlib
 
-        def signature(text):
-            if text is None:
-                return [0] * num_perm
-            toks = [t for t in re.split(r"\W+", text.lower()) if t]
-            if len(toks) < shingle_k:
-                shingles = [" ".join(toks)] if toks else [""]
-            else:
-                shingles = [
-                    " ".join(toks[i : i + shingle_k])
-                    for i in range(len(toks) - shingle_k + 1)
-                ]
-            hv = np.array(
-                [zlib.crc32(sh.encode()) for sh in set(shingles)], dtype=np.int64
-            )
-            # (a*x + b) mod p, min over shingles, per permutation
-            mins = ((hv[None, :] * a[:, None] + b[:, None]) % prime).min(axis=1)
-            return [int(x) for x in mins]
-
-        return s.map(signature)
-
-    return sig_udf
+def shingles_col(col: str, k: int) -> F.Column:
+    """Distinct k-word shingles of the lowercased \\W+ tokens. Fewer than
+    k tokens -> one shingle of all tokens (empty text -> [""]). Mirrors
+    DuckDB: list_distinct(list_transform(range(1, greatest(len(t)-k+1,1)+1),
+    i -> array_to_string(list_slice(t, i, i+k-1), ' ')))."""
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
 
 
 def minhash_signatures(
@@ -139,8 +128,24 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    udf = _minhash_udf(num_perm, shingle_k, seed)
-    return df.select(F.col(id_col).alias("id"), udf(F.col(col)).alias("sig"))
+    """(id, sh, sig): shingle set + MinHash signature, all JVM column
+    expressions (whole-stage codegen — no Python in the hot path). Token
+    hash = md5_number_lower % (2^31-1), matching DuckDB exactly."""
+    from phphinder_spark.functions.hashing import MERSENNE31, hash31
+
+    coeffs = minhash_coeffs(num_perm, seed)
+    base = df.select(
+        F.col(id_col).alias("id"), shingles_col(col, shingle_k).alias("sh")
+    ).withColumn("hv", F.transform("sh", lambda s: hash31(s)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("hv", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+            )
+            for a, b in coeffs
+        ]
+    )
+    return base.select("id", "sh", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -153,8 +158,13 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate pairs from LSH banding, verified with exact token-shingle
-    Jaccard estimate (signature agreement rate) >= threshold."""
+    """LSH-banded candidate pairs verified with EXACT shingle-set Jaccard
+    >= threshold. Semantics = "near-dup pairs whose signatures collide in
+    >= 1 of `bands` bands, exact-verified" — the banding is part of the
+    operator contract (recall curve set by bands/num_perm), and the DuckDB
+    oracle replays the identical signatures/bands, so value-level checks
+    certify the whole pipeline. The band self-join shuffles on (band, key):
+    uniform by construction; the quadratic blow-up is bounded per bucket."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, col, id_col, num_perm, shingle_k, seed).cache()
     banded = sigs.select(
@@ -162,31 +172,36 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
                     for i in range(bands)
                 ]
             )
-        ).alias("band", "bucket"),
+        ).alias("band", "key"),
     )
-    a = banded.select(F.col("id").alias("a_id"), "band", "bucket")
-    b = banded.select(F.col("id").alias("b_id"), "band", "bucket")
+    a = banded.select(F.col("id").alias("a_id"), "band", "key")
+    b = banded.select(F.col("id").alias("b_id"), "band", "key")
     cands = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["band", "key"])
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = sigs.select(F.col("id").alias("a_id"), F.col("sig").alias("a_sig"))
-    sb = sigs.select(F.col("id").alias("b_id"), F.col("sig").alias("b_sig"))
-    agree = F.size(
-        F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda v: v)
-    )
+    sa = sigs.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sb = sigs.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
     return (
         cands.join(sa, "a_id")
         .join(sb, "b_id")
-        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_perm)), 6))
-        .where(F.col("est_jaccard") >= threshold)
-        .select("a_id", "b_id", "est_jaccard")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
     )
 
 
@@ -199,51 +214,52 @@ def simhash_pairs(
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs with hamming <= max_hamming.
 
-    Candidates via the pigeonhole trick: split the 64-bit hash into
-    (max_hamming+1) chunks — any pair within the radius shares at least one
-    exact chunk, so the self-join runs per (chunk_idx, chunk_value) bucket.
-    Verify with bit_count(xor)."""
+    The per-token 64-bit hash is md5_number_lower (DuckDB-identical, see
+    functions/hashing.py) and the ±1 bit accumulation is one JVM
+    aggregate over the token array — no Python in the hot path, and the
+    whole pipeline has a value-level SQL oracle.
+
+    Candidates via the pigeonhole trick: split the accumulated bit vector
+    into (max_hamming+1) chunks — a pair within the radius has differences
+    in at most max_hamming chunks, so it collides in at least one exact
+    (chunk_idx, chunk_value) bucket; the self-join runs per bucket. Verify
+    with bit_count(xor) on the packed 64-bit value."""
+    from phphinder_spark.functions.hashing import md5_bits64
+
     n_chunks = max_hamming + 1
-
-    @F.pandas_udf("long")
-    def simhash_udf(s: pd.Series) -> pd.Series:
-        import re
-        import zlib
-
-        def sh(text):
-            if text is None:
-                return 0
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in re.split(r"\W+", (text or "").lower()):
-                if not tok:
-                    continue
-                h = np.uint64(
-                    (zlib.crc32(tok.encode()) << 32) | zlib.crc32(tok[::-1].encode())
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            return v - (1 << 64) if v >= 1 << 63 else v
-
-        return s.map(sh)
-
-    hashed = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(col)).alias("sh")).cache()
     chunk_bits = 64 // n_chunks
+    toks = _tokens(col)
+    acc = F.aggregate(
+        F.transform(toks, lambda t: md5_bits64(t)),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, bt: F.zip_with(acc, bt, lambda a, x: a + 2 * x - 1),
+    )
+    base = df.select(F.col(id_col).alias("id"), acc.alias("acc"))
+
+    def packed(acc_col: F.Column) -> F.Column:
+        # signed 64-bit: bits 0..62 positive, bit 63 contributes -2^63
+        out = F.lit(0).cast("long")
+        for b in range(63):
+            out = out + F.when(F.element_at(acc_col, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        return out + F.when(
+            F.element_at(acc_col, 64) > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    def chunk_val(acc_col: F.Column, ci: int) -> F.Column:
+        out = F.lit(0).cast("long")
+        for j in range(chunk_bits):
+            out = out + F.when(
+                F.element_at(acc_col, ci * chunk_bits + j + 1) > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    hashed = base.select("id", packed(F.col("acc")).alias("sh"), "acc").cache()
     chunks = hashed.select(
         "id",
         "sh",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sh"), i * chunk_bits).bitwiseAND(
-                        F.lit((1 << chunk_bits) - 1)
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
+            F.array(*[chunk_val(F.col("acc"), i) for i in range(n_chunks)])
         ).alias("ci", "cv"),
     )
     a = chunks.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "ci", "cv")

@@ -5,23 +5,36 @@ document fingerprinting. Built-in Column expressions where possible
 
 from __future__ import annotations
 
-import zlib
-
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from phphinder_spark.analysis.stopwords_en import STOPWORDS_EN
 
-# tiny built-in stopword profiles for the language-ID heuristic (public
-# common-word lists; deterministic)
-_LANG_PROFILES = {
-    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for"},
-    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"},
-    "fr": {"le", "la", "les", "de", "et", "est", "un", "une", "que", "dans"},
-}
-
 _TOKEN_SPLIT = r"\W+"
+
+_ASCII_WORD = __import__("re").compile(r"^[a-z0-9_]+$")
+
+
+def lang_profiles(top_n: int = 50) -> dict[str, list[str]]:
+    """Deterministic stopword profiles from the 32 shipped reference
+    lists, restricted to ASCII-word entries: the JVM/RE2 ``\\W`` used by
+    the tokenizer is ASCII-only, so non-Latin-script tokens never survive
+    tokenization on this path — languages whose lists keep < 20 ASCII
+    words are excluded (full-Unicode lang-id belongs on the Python-
+    analyzer path). ``top_n`` words per language, ranked shortest-first
+    (function words are short — 'the', 'is', 'el', 'und' — so a length
+    ranking approximates a frequency ranking deterministically), bound
+    both the Column expression and the generated oracle SQL."""
+    from phphinder_spark.analysis.analyzers import STOPWORDS
+
+    out = {}
+    for lang in sorted(STOPWORDS):
+        words = sorted(
+            (w for w in STOPWORDS[lang] if _ASCII_WORD.match(w)),
+            key=lambda w: (len(w), w),
+        )
+        if len(words) >= 20:
+            out[lang] = sorted(words[:top_n])
+    return out
 
 
 def tokens_col(col: str) -> F.Column:
@@ -66,53 +79,59 @@ def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, col: str = "text") -> DataFrame:
-    """(doc_id, lang_pred, lang_score) — stopword-profile hit-rate argmax.
+def language_id(
+    df: DataFrame, col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — stopword-profile hit-count argmax
+    over the reference's own per-language lists, as pure JVM expressions
+    (one array_intersect per language, chained argmax).
 
     Deterministic tie-break: higher hit count wins, then alphabetical
-    language code. Vectorized pandas UDF (Arrow batches)."""
-
-    @F.pandas_udf("string")
-    def lang_udf(s: pd.Series) -> pd.Series:
-        import re
-
-        def guess(text):
-            if text is None:
-                return "und"
-            toks = set(re.split(r"\W+", text.lower()))
-            best = ("und", 0)
-            for lang in sorted(_LANG_PROFILES):
-                hits = len(toks & _LANG_PROFILES[lang])
-                if hits > best[1]:
-                    best = (lang, hits)
-            return best[0]
-
-        return s.map(guess)
-
-    return df.select("doc_id", lang_udf(F.col(col)).alias("lang_pred"))
+    language code; zero hits anywhere -> 'und'."""
+    profiles = lang_profiles(top_n)
+    langs = sorted(profiles)
+    toks = F.array_distinct(tokens_col(col))
+    # linear-size argmax: one (hits, -lang_index) struct per language,
+    # array_max picks lexicographic max = highest hits, then alphabetically
+    # first language. (A chained when-fold embeds the running best twice
+    # per level -> exponential expression tree -> analyzer OOM.)
+    entries = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(w) for w in profiles[lang]])
+                    )
+                ).alias("h"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(entries)
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    pred = F.when(
+        best["h"] > 0, F.element_at(lang_arr, -best["ni"] + 1)
+    ).otherwise(F.lit("und"))
+    hits = F.when(best["h"] > 0, best["h"]).otherwise(F.lit(0))
+    return df.select(
+        "doc_id", pred.alias("lang_pred"), hits.cast("long").alias("lang_hits")
+    )
 
 
 def fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
-    """(doc_id, fp64) rolling polynomial hash over word tokens — a cheap,
+    """(doc_id, fp) rolling polynomial hash over word tokens — a cheap,
     order-sensitive document fingerprint (content-defined, whitespace
-    insensitive). Vectorized pandas UDF."""
+    insensitive). Pure JVM fold with the cross-engine token hash, so the
+    DuckDB oracle computes the identical value:
+    list_reduce([0] || hashes, (acc, h) -> (acc*1000003 + h) % (2^31-1))."""
+    from phphinder_spark.functions.hashing import MERSENNE31, hash31
 
-    @F.pandas_udf("long")
-    def fp_udf(s: pd.Series) -> pd.Series:
-        import re
-
-        mask = (1 << 63) - 1
-
-        def fp(text):
-            if text is None:
-                return 0
-            h = 0
-            for tok in re.split(r"\W+", text.lower()):
-                if not tok:
-                    continue
-                h = (h * 1000003 + zlib.crc32(tok.encode())) & mask
-            return h
-
-        return s.map(fp)
-
-    return df.select("doc_id", fp_udf(F.col(col)).alias("fp64"))
+    toks = tokens_col(col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 1000003 + hash31(t)) % MERSENNE31,
+    )
+    # NULL text tokenizes to NULL -> NULL fold; pin to 0 in both engines
+    return df.select("doc_id", F.coalesce(fp, F.lit(0).cast("long")).alias("fp"))

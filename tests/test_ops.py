@@ -51,11 +51,12 @@ def test_jaccard_pairs_bruteforce(spark, documents):
         assert j >= 0.5
 
 
-def test_minhash_estimates_jaccard(spark, documents):
+def test_minhash_lsh_pairs_exact_verified(spark, documents):
     sample = documents.limit(80)
     pairs = dedup.minhash_lsh_pairs(sample, "text", threshold=0.6, num_perm=64, bands=16)
     rows = pairs.collect()
-    # estimates must be within banding tolerance of the exact 3-shingle jaccard
+    assert rows  # non-trivial
+    # output jaccard is the EXACT 3-shingle jaccard of LSH-banded candidates
     import re
     texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
 
@@ -68,7 +69,19 @@ def test_minhash_estimates_jaccard(spark, documents):
     for r in rows:
         a, b = shingles(texts[r["a_id"]]), shingles(texts[r["b_id"]])
         exact = len(a & b) / max(1, len(a | b))
-        assert abs(exact - r["est_jaccard"]) < 0.35
+        assert abs(exact - r["jaccard"]) < 1e-4
+        assert r["jaccard"] >= 0.6
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(1, base), (2, base.replace("tok30", "changed")),
+            (3, " ".join(f"other{i}" for i in range(60)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]) for r in
+           dedup.minhash_lsh_pairs(df, "text", threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
 
 
 def test_simhash_self_dup(spark):
@@ -155,10 +168,16 @@ def test_language_id_deterministic(spark):
     assert out == {1: "en", 2: "es", 3: "de"}
 
 
-def test_fingerprints_stable(documents):
-    a = {r["doc_id"]: r["fp64"] for r in textstats.fingerprints(documents.limit(20)).collect()}
-    b = {r["doc_id"]: r["fp64"] for r in textstats.fingerprints(documents.limit(20)).collect()}
+def test_fingerprints_stable_and_order_sensitive(spark, documents):
+    a = {r["doc_id"]: r["fp"] for r in textstats.fingerprints(documents.limit(20)).collect()}
+    b = {r["doc_id"]: r["fp"] for r in textstats.fingerprints(documents.limit(20)).collect()}
     assert a == b
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta alpha gamma"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in textstats.fingerprints(df).collect()}
+    assert fp[1] == fp[3] != fp[2]
 
 
 def test_multimodal_pipeline(spark):
