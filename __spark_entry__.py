@@ -408,6 +408,7 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
     # ---- cross-engine hash oracles: same md5_number_lower-derived hashes,
     # same MinHash coefficients, same banding — value-identical by design
     from phphinder_spark.ops.dedup import minhash_coeffs
+    from phphinder_spark.ops.similarity import rademacher_planes
     from phphinder_spark.ops.textstats import lang_profiles
 
     H31 = "CAST(md5_number_lower({x}) % 2147483647 AS BIGINT)"
@@ -501,6 +502,47 @@ SELECT doc_id,
 FROM ranked WHERE rn = 1
 """.format(toks=_TOKS, rows=profile_rows)
 
+    # ann_srp: replay the Rademacher SRP buckets exactly — ±1 sign-flip +
+    # left-to-right double fold + `> 0` are bit-identical across engines
+    # (same literals, same order), so the LSH candidate sets match; the
+    # final ranking reuses the round-6 cosine ordering proven by ann_topk.
+    planes = rademacher_planes(64, 6, 4, seed=42)
+    def _bucket_sql(tbl: int) -> str:
+        bits = []
+        for b, plane in enumerate(planes[tbl]):
+            signs = ",".join("-1.0" if s < 0 else "1.0" for s in plane)
+            dot = (
+                "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(range(1, 65), i -> v[i] * ([{signs}])[i])), "
+                "(a, x) -> a + x)"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        return " + ".join(bits)
+
+    srp_long = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS tbl, ({_bucket_sql(t)}) AS bkt FROM emb"
+        for t in range(4)
+    )
+    ann_srp = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+long AS ({srp_long}),
+q AS (SELECT * FROM long WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 5)),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, long.vec_id
+  FROM long JOIN q ON long.tbl = q.tbl AND long.bkt = q.bkt
+)
+SELECT query_id, vec_id FROM (
+  SELECT c.query_id, c.vec_id,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY round(list_cosine_similarity(ev.v, qv.v), 6) DESC, c.vec_id
+         ) AS rnk
+  FROM cand c
+  JOIN emb ev ON ev.vec_id = c.vec_id
+  JOIN emb qv ON qv.vec_id = c.query_id
+) WHERE rnk <= 10
+"""
+
     fingerprint = (
         "SELECT doc_id, coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform({_TOKS}, t -> {H31.format(x='t')})), "
@@ -508,6 +550,7 @@ FROM ranked WHERE rn = 1
     )
 
     return {
+        "ann_srp": ann_srp,
         "dedup_minhash": minhash,
         "dedup_simhash": simhash,
         "text_langid": langid,
@@ -578,6 +621,6 @@ FROM ranked WHERE rn = 1
             "FROM documents GROUP BY lang"
         ),
         "corpus_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
-        # ann_srp / multimodal_features: float-plane-dependent or
-        # binary-payload-backed — rows-only checks (no SQL oracle).
+        # multimodal_features: binary-payload-backed — rows-only check
+        # (no SQL oracle).
     }

@@ -14,8 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _normalized(vec_col: str) -> F.Column:
@@ -52,24 +51,42 @@ def cosine_topk(
     )
 
 
-def srp_bucket_udf(dim: int, n_bits: int = 12, seed: int = 42):
-    """Sign-random-projection bucket id (deterministic seeded planes)."""
+def rademacher_planes(
+    dim: int, n_bits: int, n_tables: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic ±1 (Rademacher) hyperplanes, [table][bit][dim].
+
+    Rademacher projections are a standard SRP variant (same angular-LSH
+    collision guarantee as gaussian planes, Achlioptas-style sparse/signed
+    projections) with one decisive property here: every arithmetic step —
+    sign-flip, left-to-right double summation, `> 0` — is exactly
+    reproducible in ANSI SQL, so the LSH stage gets a value-level DuckDB
+    oracle instead of a rows-only check."""
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_bits, dim)).astype("float64")
+    return [
+        [rng.choice([-1.0, 1.0], size=dim).tolist() for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
 
-    @F.pandas_udf("long")
-    def bucket(s: pd.Series) -> pd.Series:
-        def b(vec):
-            v = np.asarray(vec, dtype="float64")
-            bits = (planes @ v) > 0
-            out = 0
-            for i, bit in enumerate(bits):
-                if bit:
-                    out |= 1 << i
-            return out
 
-        return s.map(b)
-
+def srp_bucket_col(vec_col: str | Column, table_planes: list[list[float]]) -> Column:
+    """Bucket id for one table as a pure JVM expression: bit b set iff
+    fold(v[i] * s[b][i]) > 0 (left-to-right double sum — bit-identical to
+    DuckDB's list_reduce over the same literals)."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(table_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(s) for s in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return bucket
 
 
@@ -94,9 +111,9 @@ def srp_lsh_topk(
     shuffle keys on (table, bucket), 2^n_bits uniform buckets."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    buckets = [srp_bucket_udf(dim, n_bits, seed + 101 * t) for t in range(n_tables)]
+    planes = rademacher_planes(dim, n_bits, n_tables, seed)
     bucket_arr = lambda col: F.posexplode(  # noqa: E731
-        F.array(*[b(F.col(col)) for b in buckets])
+        F.array(*[srp_bucket_col(col, planes[t]) for t in range(n_tables)])
     )
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
