@@ -76,17 +76,37 @@ class SymbolTransformer(_Filtered):
 
 
 class StemmerTransformer(_Filtered):
+    """Snowball stemmer by ISO language code (reference stems any Snowball
+    language via wamania/php-stemmer, src/Transformer/StemmerTransformer.php:30-39;
+    the pure-Python algorithm ports live in analysis/snowball_*.py +
+    porter2.py)."""
+
     def __init__(self, lang_iso: str = "en", filters: Iterable | None = None):
         super().__init__(lang_iso, filters)
-        if lang_iso != "en":
+        if lang_iso == "en":
+            self._stem = stem
+        elif lang_iso == "de":
+            from phphinder_spark.analysis.snowball_de import stem as stem_de
+
+            self._stem = stem_de
+        elif lang_iso == "es":
+            from phphinder_spark.analysis.snowball_es import stem as stem_es
+
+            self._stem = stem_es
+        elif lang_iso == "fr":
+            from phphinder_spark.analysis.snowball_fr import stem as stem_fr
+
+            self._stem = stem_fr
+        else:
             raise NotImplementedError(
-                f"only the English Snowball stemmer is implemented (got {lang_iso!r})"
+                "Snowball stemmers implemented: en, de, es, fr "
+                f"(got {lang_iso!r})"
             )
 
     def apply(self, term: str) -> str | None:
         if not self._allowed(term):
             return None
-        return stem(term)
+        return self._stem(term)
 
 
 class Analyzer:

@@ -98,6 +98,7 @@ class SparkSearchEngine:
         self.storage = storage or MemoryStorage(spark)
         self.index: InvertedIndex | None = None
         self._buffer: list[dict] = []
+        self._source_df: DataFrame | None = None
         self._max_id = 0
         if not self.storage.is_empty:
             self.index = InvertedIndex(
@@ -219,9 +220,20 @@ class SparkSearchEngine:
     def index_dataframe(self, df: DataFrame) -> None:
         """Bulk build (the scale path). ``df`` must carry ``doc_id``.
 
-        Lazy: nothing materializes until the first query/count; ``_max_id``
-        (needed only by the interactive flush path) is fetched on demand."""
-        self.index = build_index(df, self.schema).cache()
+        The input is cached first: ``build_index`` branches once per
+        indexed field, so an uncached id-assigned corpus would re-run its
+        shuffle+window subtree N_fields times (measured 2-3x build
+        slowdown and flat 8->32 core scaling at 200k docs). At real scale
+        the same materialization point is the persisted docs table the
+        storage seam writes — cache is its local-mode stand-in.
+
+        Lazy apart from that: nothing materializes until the first
+        query/count; ``_max_id`` (needed only by the interactive flush
+        path) is fetched on demand."""
+        if self._source_df is not None:
+            self._source_df.unpersist()
+        self._source_df = df.cache()
+        self.index = build_index(self._source_df, self.schema).cache()
         self._max_id = -1
 
     def _ensure_max_id(self) -> None:
