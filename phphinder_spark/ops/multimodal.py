@@ -1,19 +1,25 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed through Arrow-batched
-``mapInPandas`` pipelines.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in this
-environment, so the decode step is STUBBED: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the content hash) produces stable
-pseudo-features. Everything Spark-side — schema, batching, partitioning,
-UDF signatures — is real and tested; swapping in a real codec is a
-one-function change.
+Real kernels (pure numpy, no external codecs needed):
+- BMP (24-bit uncompressed BI_RGB) decode/encode — ``decode_bmp``.
+- WAV (RIFF PCM 16-bit) decode/encode — ``decode_wav``.
+- Image features: per-channel mean/std + 2x2 luma block means + quantiles.
+- Audio features: RMS, zero-crossing rate, 8 FFT band energies.
+
+Still stubbed (honestly requires external codecs): compressed images
+(PNG/JPEG) and video containers (MP4) — ``decode_image`` raises
+``NotImplementedError`` for those magics; video rows get metadata-only
+features and a real frame-sampling *plan* (``sample_frames``).
+
+Everything Spark-side — schema, batching, partitioning, UDF signatures —
+is real: swapping in PIL/ffmpeg is a per-format dispatch entry.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,31 +42,174 @@ FEATURE_DIM = 16
 
 _FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes long, sha256 string, "
-    f"features array<float>"
+    "features array<float>"
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array. STUB: no image libraries
-    in this container — with ``fake=True`` returns a deterministic 8x8x3
-    array seeded from the payload digest (stable across runs/partitions)."""
-    if not fake:
+# --------------------------------------------------------------- BMP codec
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) -> 24-bit uncompressed BMP bytes."""
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + data_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> HxWx3 uint8 (RGB). Pure numpy."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "image decoding requires an image codec (e.g. PIL); "
-            "not available in this environment — pass fake=True for the "
-            "deterministic test decoder"
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
         )
-    digest = hashlib.sha256(payload or b"").digest()
-    rng = np.random.RandomState(np.frombuffer(digest[:4], dtype=np.uint32)[0])
-    return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h,
+                        offset=data_offset)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    img = rows[::-1] if bottom_up else rows
+    return img[:, :, ::-1].copy()  # BGR -> RGB
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+# --------------------------------------------------------------- WAV codec
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM 16-bit bytes -> (mono int16 samples, sample_rate).
+    Multi-channel input is averaged to mono. Pure numpy."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate, channels, bits = None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 WAV supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if data is None or rate is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels and channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1).astype("<i2")
+    return samples, rate
+
+
+# ------------------------------------------------------------ dispatchers
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8 by magic-byte dispatch.
+    BMP is decoded natively; compressed formats need external codecs."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image decoding (PNG/JPEG) requires an image codec "
+        "(e.g. PIL) not available in this environment; BMP is decoded "
+        "natively"
+    )
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """16-dim pooled features: per-channel mean(3) + std(3), 2x2 luma
+    block means(4), luma quantiles(6)."""
+    flat = img.reshape(-1, 3).astype("float64")
+    mean = flat.mean(axis=0)
+    std = flat.std(axis=0)
+    luma = img.astype("float64") @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    blocks = [
+        luma[: h // 2 or 1, : w // 2 or 1].mean(),
+        luma[: h // 2 or 1, w // 2 :].mean() if w > 1 else luma.mean(),
+        luma[h // 2 :, : w // 2 or 1].mean() if h > 1 else luma.mean(),
+        luma[h // 2 :, w // 2 :].mean() if h > 1 and w > 1 else luma.mean(),
+    ]
+    qs = np.quantile(luma.ravel(), [0.0, 0.2, 0.4, 0.6, 0.8, 1.0])
+    return np.concatenate([mean, std, blocks, qs])
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """16-dim audio features: duration(s), RMS, peak, zero-crossing rate,
+    8 log-spaced FFT band energies, 4 amplitude quantiles."""
+    x = samples.astype("float64") / 32768.0
+    n = max(len(x), 1)
+    rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
+    peak = float(np.abs(x).max()) if len(x) else 0.0
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+    if len(x):
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        edges = np.unique(
+            np.geomspace(1, len(spec), num=9).astype(int)
+        )
+        bands = np.zeros(8)
+        for i in range(min(8, len(edges) - 1)):
+            seg = spec[edges[i] : edges[i + 1]]
+            bands[i] = np.log1p(seg.sum())
+        quant = np.quantile(np.abs(x), [0.25, 0.5, 0.75, 1.0])
+    else:
+        bands = np.zeros(8)
+        quant = np.zeros(4)
+    return np.concatenate([[n / rate, rms, peak, zcr], bands, quant])
+
+
+def extract_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Real plumbing: Arrow batches in/out, schema-stable output, no driver
-    collect. The per-payload "model" is the stubbed decoder + a fixed
-    16-dim pooled feature."""
+    Arrow batches in/out, schema-stable output, no driver collect.
+    Per-kind kernels: image -> BMP decode + pooled stats; audio -> WAV
+    decode + spectral stats; video -> metadata-only (container decode is
+    the one remaining stub; see module docstring). ``fake`` is accepted
+    for backward compatibility and ignored — the kernels are real now."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -69,17 +218,24 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
                 "sha256": pdf["payload"].map(
-                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                    lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
                 ),
             }
             feats = []
-            for payload in pdf["payload"]:
-                img = decode_image(payload, fake=fake)
-                pooled = img.reshape(-1, 3).mean(axis=0)
-                digest = hashlib.sha256(payload or b"").digest() * 2
-                extra = np.frombuffer(digest[: (FEATURE_DIM - 3) * 4], dtype=np.uint32)
-                vec = np.concatenate([pooled, extra.astype("float64") % 997])
-                feats.append([float(x) for x in vec[:FEATURE_DIM]])
+            for kind, payload, dur in zip(
+                pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                payload = bytes(payload or b"")
+                if kind == "image":
+                    vec = image_features(decode_image(payload))
+                elif kind == "audio":
+                    vec = audio_features(*decode_wav(payload))
+                else:  # video: metadata-only until a container codec exists
+                    vec = np.zeros(FEATURE_DIM)
+                    vec[0] = (dur or 0) / 1000.0
+                    vec[1] = len(payload)
+                vec = np.resize(vec, FEATURE_DIM)
+                feats.append([float(round(v, 6)) for v in vec])
             out["features"] = feats
             yield pd.DataFrame(out)
 
@@ -89,7 +245,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (pure plan — ``sequence`` + explode, JVM-side), with the
-    frame payload left to the (stubbed) decoder stage."""
+    frame payload left to the (stubbed) container decoder stage."""
     vids = media.where(F.col("kind") == "video")
     return vids.select(
         "media_id",
@@ -100,20 +256,38 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
+    """Deterministic media table with REAL payloads: 8x8 BMP images and
+    0.1s 16kHz WAV tones (seed-derived pixels/frequencies); video rows
+    keep opaque bytes (container decode is stubbed)."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+        digest = hashlib.sha256(f"{seed}:{i}".encode()).digest()
         kind = ["image", "audio", "video"][i % 3]
+        rng = np.random.RandomState(np.frombuffer(digest[:4], dtype=np.uint32)[0])
+        if kind == "image":
+            payload = encode_bmp(rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8))
+            w = h = 8
+            dur = None
+        elif kind == "audio":
+            t = np.arange(1600) / 16000.0
+            freq = 200 + float(rng.randint(0, 2000))
+            samples = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+            payload = encode_wav(samples, 16000)
+            w = h = None
+            dur = 100
+        else:
+            payload = digest * 4
+            w = h = None
+            dur = 5000
         rows.append(
             (
                 i,
                 kind,
                 bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                8 if kind == "image" else None,
-                8 if kind == "image" else None,
-                5000 if kind != "image" else None,
+                {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                w,
+                h,
+                dur,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

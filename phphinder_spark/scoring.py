@@ -189,7 +189,7 @@ def bm25_topk_blockmax(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    chunk_span: int = 1 << 20,
+    chunk_span: int | None = None,
     collect_metrics: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Block-max pruned BM25 top-k — the WAND-style scale path.
@@ -209,6 +209,11 @@ def bm25_topk_blockmax(
     scoring runs on the pruned survivor set. Returns (topk_df, metrics).
     """
     terms = [str(t) for t in terms]
+    if chunk_span is None:
+        # ~256 doc-id-range blocks regardless of corpus size: one global
+        # block (the old fixed 2^20 default at < 1M docs) makes the bound
+        # the global max and prunes nothing
+        chunk_span = max(64, 1 << max(0, (n_docs // 256)).bit_length())
     hits = postings.where(
         (F.col("field") == field) & F.col("term").isin(terms)
     ).withColumn("chunk", F.floor(F.col("doc_id") / F.lit(chunk_span)))

@@ -182,17 +182,58 @@ def test_fingerprints_stable_and_order_sensitive(spark, documents):
 
 def test_multimodal_pipeline(spark):
     media = multimodal.synthetic_media(spark, 32)
-    feats = multimodal.extract_features(media, fake=True).cache()
+    feats = multimodal.extract_features(media).cache()
     assert feats.count() == 32
     row = feats.first()
     assert len(row["features"]) == multimodal.FEATURE_DIM
     assert len(row["sha256"]) == 64
     # deterministic across reruns
-    again = multimodal.extract_features(media, fake=True)
+    again = multimodal.extract_features(media)
     assert feats.orderBy("media_id").collect() == again.orderBy("media_id").collect()
+
+
+def test_bmp_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for h, w in [(8, 8), (5, 3), (1, 1), (2, 7)]:  # incl. padded row widths
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = multimodal.decode_bmp(multimodal.encode_bmp(img))
+        assert (out == img).all(), (h, w)
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    t = np.arange(3200) / 16000.0
+    samples = (np.sin(2 * np.pi * 440.0 * t) * 10000).astype("<i2")
+    back, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 16000))
+    assert rate == 16000 and (back == samples).all()
+    vec = multimodal.audio_features(back, rate)
+    assert abs(vec[0] - 0.2) < 1e-9  # duration
+    assert 0.2 < vec[1] < 0.23  # RMS of a (10000/32768)-amp sine = 0.305/sqrt(2)
+    # a 440 Hz tone concentrates energy in one FFT band
+    bands = vec[4:12]
+    assert bands.max() > 0
+
+
+def test_image_features_real_decode():
+    import numpy as np
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red
+    vec = multimodal.image_features(multimodal.decode_bmp(multimodal.encode_bmp(img)))
+    assert abs(vec[0] - 255.0) < 1e-9 and abs(vec[1]) < 1e-9  # mean RGB
+    assert abs(vec[3]) < 1e-9  # zero std
+
+
+def test_decode_image_rejects_compressed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 64)
+
+
+def test_sample_frames_plan(spark):
+    media = multimodal.synthetic_media(spark, 9)
     frames = multimodal.sample_frames(media, every_ms=1000)
     vids = media.where("kind = 'video'").count()
     assert frames.count() == vids * 6  # 0..5000 step 1000
-
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx", fake=False)
