@@ -54,12 +54,22 @@ def _warm(s: pd.Series) -> pd.Series:
 spark.range(0, 10_000, numPartitions=4 * cpus).select(
     _warm(F.col("id").cast("string"))).count()
 
-t0 = time.time()
-docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
-eng = SparkSearchEngine(spark, code_schema())
-eng.index_dataframe(docs)
-n_post = eng.index.postings.count()
-build_sec = time.time() - t0
+# best-of-2 in-JVM builds: the shared-VM host shows 2x run-to-run swings;
+# repeating INSIDE one JVM (same host window, warm JIT) and taking the
+# best isolates engine scaling from transient host noise
+build_sec = None
+eng = None
+for _rep in range(2):
+    if eng is not None:
+        eng.index.unpersist()
+        eng._source_df.unpersist()
+    t0 = time.time()
+    docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
+    eng = SparkSearchEngine(spark, code_schema())
+    eng.index_dataframe(docs)
+    n_post = eng.index.postings.count()
+    sec = time.time() - t0
+    build_sec = sec if build_sec is None else min(build_sec, sec)
 
 queries = ["varint delta merge", "function return class", "needle_100",
            "broadcast shuffle partition", "encode decode segment"]
