@@ -249,7 +249,11 @@ class SparkSearchEngine:
         throughput path (per-query jobs pay fixed scheduler latency).
         Returns (query_id = the phrase, doc_id, score, rank)."""
         if self.index is None:
-            raise RuntimeError("no documents indexed")
+            # reference searches over empty storage return no results
+            # (src/SearchEngine.php:100-105 over a truncated index)
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double, rank int"
+            )
         analyzer = self.schema.analyzer
         qmap: dict[str, list[str]] = {}
         for phrase in phrases:
@@ -570,7 +574,15 @@ class SparkSearchEngine:
         """Full reference semantics; returns (doc_id, terms, fields,
         fulltext, weight, <stored fields>) ordered like the reference."""
         if self.index is None:
-            raise RuntimeError("no documents indexed")
+            # reference searches over empty storage return no results
+            stored = ", ".join(
+                f"`{f}` string" for f in self.schema.stored_fields
+            )
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, terms array<string>, fields array<string>, "
+                "fulltext boolean, weight double" + (", " + stored if stored else ""),
+            )
         query = QueryParser(ANY_FIELD).parse(phrase)
         ctx = _Ctx()
         ctx.term_hits = self._prefetch_term_hits(query)
@@ -653,7 +665,8 @@ class SparkSearchEngine:
         (scoring.bm25_topk_blockmax) — identical results by construction,
         cheaper when rare terms bound the threshold."""
         if self.index is None:
-            raise RuntimeError("no documents indexed")
+            # reference searches over empty storage return no results
+            return self.spark.createDataFrame([], "doc_id long, score double")
         analyzer = self.schema.analyzer
         terms = []
         for tok in analyzer.tokenizer.apply(phrase):

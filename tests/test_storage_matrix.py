@@ -1,0 +1,53 @@
+"""Reference-style storage data-provider matrix: the same search suite
+over each storage backend (reference runs its integration suite over
+File/Dbal/Redis storages, tests/Integration/SearchEngineTest.php:199-224;
+here: MemoryStorage and ParquetSnapshotStorage — IcebergStorage needs a
+catalog jar absent from this environment and fails fast, see STATUS.md).
+"""
+
+import pytest
+
+from phphinder_spark.engine import SparkSearchEngine
+from phphinder_spark.index.storage import MemoryStorage, ParquetSnapshotStorage
+from phphinder_spark.schema import test_schema as make_test_schema
+
+BACKENDS = ["memory", "parquet_snapshot"]
+
+
+def _make_engine(spark, tmp_path, backend):
+    storage = (
+        MemoryStorage(spark)
+        if backend == "memory"
+        else ParquetSnapshotStorage(spark, str(tmp_path / f"idx_{backend}"))
+    )
+    eng = SparkSearchEngine(spark, make_test_schema(), storage=storage)
+    eng.add_document(
+        {"_id": 1, "title": "Cat animal", "text": "Meow world! This is a PHP search engine."}
+    ).add_document(
+        {"_id": 2, "title": "Dog", "text": "Bark Bark! PHPhinder makes search development fun to the world."}
+    ).add_document(
+        {"_id": 3, "title": "Snake", "text": "szee szee! This is the minimal PHP search engine for the animal world."}
+    )
+    eng.flush()
+    return eng
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_search_suite_per_backend(spark, tmp_path, backend):
+    eng = _make_engine(spark, tmp_path, backend)
+    assert {r.doc_id for r in eng.search("search engine")} == {1, 3}
+    assert {r.doc_id for r in eng.search("search OR engine")} == {1, 2, 3}
+    assert {r.doc_id for r in eng.search("world NOT(animal)")} == {2}
+    assert {r.doc_id for r in eng.search("sea*")} == {1, 2, 3}
+    # upsert replaces by unique key on every backend
+    eng.add_document({"_id": 2, "title": "Dog2", "text": "Quiet now."})
+    eng.flush()
+    assert {r.doc_id for r in eng.search("bark")} == set()
+    assert {r.doc_id for r in eng.search("quiet")} == {2}
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_truncate_per_backend(spark, tmp_path, backend):
+    eng = _make_engine(spark, tmp_path, backend)
+    eng.truncate()
+    assert eng.search("world") == []
