@@ -91,6 +91,11 @@ def main() -> None:
     blockmax_sec = round(time.time() - t, 3)
 
     total = round(sum(times.values()), 3)
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            scaling = json.load(fh)
     result = {
         "metric": "headline query set wall-clock (sf documents corpus)",
         "value": total,
@@ -105,6 +110,10 @@ def main() -> None:
         "bm25_batched_10q_sec": batched_sec,
         "bm25_blockmax_sec": blockmax_sec,
         "rows": rows,
+        # two-parallelism scaling evidence (north_rule): produced by
+        # scripts/scaling.py on the synthetic input_hint code corpus,
+        # embedded verbatim — see BENCH.md for methodology + host noise
+        "scaling": scaling,
     }
     print(json.dumps(result))
     spark.stop()

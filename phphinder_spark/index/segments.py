@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SEGMENT_SCHEMA = (
     "field string, term string, chunk long, df long, cf long, "
@@ -241,3 +241,35 @@ def merge_segment_dictionaries(segments: DataFrame) -> DataFrame:
         F.max("max_doc").alias("max_doc"),
         F.sum("n_bytes").alias("n_bytes"),
     )
+
+
+def merge_segment_stores(
+    spark,
+    paths: list[str],
+    out_path: str,
+    chunk_span: int = DEFAULT_CHUNK_SPAN,
+    n_files: int | None = None,
+) -> None:
+    """Hierarchical merge of K segment stores into one compacted store
+    (north_star: per-partition segments "hierarchically merged into a
+    global dictionary").
+
+    Scale design: a (field, term, chunk) group that exists in only ONE
+    input store passes through byte-identical — no decode. Only colliding
+    groups (same term chunk written by several incremental builds) are
+    decoded, concatenated doc-id-sorted, and re-encoded. For typical
+    incremental ingestion (new builds cover new doc-id ranges -> new
+    chunks) the merge is almost pure file re-layout; the expensive path is
+    proportional to actual overlap, not store size."""
+    from functools import reduce
+
+    segs = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(p) for p in paths],
+    )
+    w = Window.partitionBy("field", "term", "chunk")
+    tagged = segs.withColumn("_n", F.count("*").over(w))
+    passthrough = tagged.where(F.col("_n") == 1).drop("_n")
+    colliding = tagged.where(F.col("_n") > 1).drop("_n")
+    reencoded = encode_segments(decode_segments(colliding), chunk_span)
+    write_segments(passthrough.unionByName(reencoded), out_path, n_files)

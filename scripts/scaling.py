@@ -163,6 +163,8 @@ def main() -> None:
         "rank_identical_topk_across_parallelism": rank_identical,
     }
     print(json.dumps(summary, indent=2))
+    with open("/root/repo/BENCH_scaling.json", "w") as fh:
+        json.dump(summary, fh, indent=2)
     with open("/root/repo/BENCH.md", "a") as fh:
         fh.write(
             f"\n### scaling run (n_docs={n_docs})\n\n"

@@ -168,3 +168,34 @@ def test_segment_served_bm25(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in cold] == [
         (r["doc_id"], r["score"]) for r in mem
     ]
+
+
+def test_merge_segment_stores_equivalence(spark, tmp_path, postings):
+    """Merging two stores (disjoint doc ranges + an overlapping chunk)
+    equals the postings of a single-shot store build."""
+    from phphinder_spark.index.segments import merge_segment_stores
+
+    lo = postings.where(F.col("doc_id") <= 300)
+    hi = postings.where(F.col("doc_id") > 300)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    merged_path = str(tmp_path / "merged")
+    # chunk_span=256 -> chunk 1 (docs 257..512) straddles the 300 split:
+    # both stores contain (term, chunk=1) rows -> real collision re-encode
+    write_segments(encode_segments(lo, chunk_span=256), p1)
+    write_segments(encode_segments(hi, chunk_span=256), p2)
+    merge_segment_stores(spark, [p1, p2], merged_path, chunk_span=256)
+
+    def norm(df):
+        return sorted(
+            (r["field"], r["term"], r["doc_id"], r["tf"], list(r["positions"]))
+            for r in df.collect()
+        )
+
+    merged = decode_segments(spark.read.parquet(merged_path))
+    assert norm(merged) == norm(postings)
+    # the merged store has exactly one row per (field, term, chunk)
+    seg = spark.read.parquet(merged_path)
+    assert (
+        seg.groupBy("field", "term", "chunk").count().where("count > 1").count()
+        == 0
+    )
