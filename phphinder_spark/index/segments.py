@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 SEGMENT_SCHEMA = (
     "field string, term string, chunk long, df long, cf long, "
-    "min_doc long, max_doc long, n_bytes long, payload binary"
+    "min_doc long, max_doc long, max_tf long, n_bytes long, payload binary"
 )
 
 POSTING_SCHEMA = (
@@ -130,6 +130,9 @@ def encode_segments(
                     "cf": int(pdf["tf"].sum()),
                     "min_doc": int(pdf["doc_id"].min()),
                     "max_doc": int(pdf["doc_id"].max()),
+                    # block-max skip statistic: the chunk's tf ceiling
+                    # bounds any member doc's BM25 contribution
+                    "max_tf": int(pdf["tf"].max()),
                     "n_bytes": len(payload),
                     "payload": payload,
                 }
@@ -273,3 +276,127 @@ def merge_segment_stores(
     colliding = tagged.where(F.col("_n") > 1).drop("_n")
     reencoded = encode_segments(decode_segments(colliding), chunk_span)
     write_segments(passthrough.unionByName(reencoded), out_path, n_files)
+
+
+def segment_bm25_topk_blockmax(
+    spark,
+    index_dir: str,
+    terms: list[str],
+    field: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    collect_metrics: bool = False,
+) -> "tuple[DataFrame, dict]":
+    """WAND-style block-max BM25 served straight from the segment store —
+    the true skip-pointer path (north_star: "skip-pointered posting
+    lists"): whole chunks whose summed upper bound can't reach the top-k
+    threshold are never decoded and — thanks to Parquet column pruning on
+    the metadata-only scan — their payload bytes are never even read.
+
+    Exactness: chunk = doc_id // span is TERM-INDEPENDENT, so a doc's
+    postings for every query term live in the same chunk id; a doc's
+    score is bounded by sum_t ub(t, chunk) and any doc with final score
+    >= θ therefore lies in a chunk with bound >= θ. θ is seeded with the
+    exact scores of the rarest terms' docs (cheapest payloads). Asserted
+    equal to ``segment_bm25_topk`` in tests."""
+    import json as _json
+    import os
+
+    from phphinder_spark.scoring import bm25_idf
+
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        stats = _json.load(fh)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"][field]
+    terms = [str(t) for t in terms]
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).where(
+        (F.col("field") == field) & F.col("term").isin(terms)
+    )
+    # global df per query term (tiny)
+    dict_rows = (
+        spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        .where((F.col("field") == field) & F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    if not dict_rows:
+        return (
+            spark.createDataFrame([], "doc_id long, score double"),
+            {"chunks_total": 0, "chunks_decoded": 0},
+        )
+    dfreq = {r["term"]: r["df"] for r in dict_rows}
+    idf = {t: bm25_idf(n_docs, dfreq[t]) for t in dfreq}
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens")).where(
+        F.col("field") == field
+    )
+
+    def exact_scores(seg_rows: DataFrame) -> DataFrame:
+        idf_col = F.create_map(
+            *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
+        )
+        return (
+            decode_segments(seg_rows)
+            .join(doclens.select("doc_id", "dl"), "doc_id")
+            .withColumn(
+                "contrib",
+                idf_col[F.col("term")]
+                * F.col("tf").cast("double")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        )
+
+    # chunk bounds from METADATA ONLY — payload column never scanned here
+    meta = seg.select("term", "chunk", "max_tf").collect()
+    chunk_bound: dict[int, float] = {}
+    for r in meta:
+        ub = (
+            idf[r["term"]]
+            * r["max_tf"]
+            * (k1 + 1.0)
+            / (r["max_tf"] + k1 * (1.0 - b))
+        )
+        chunk_bound[r["chunk"]] = chunk_bound.get(r["chunk"], 0.0) + ub
+
+    # θ seed: rarest terms (ascending global df) until the seed can fill k
+    seed_terms: list[str] = []
+    cum = 0
+    for t in sorted(dfreq, key=lambda t: (dfreq[t], t)):
+        seed_terms.append(t)
+        cum += dfreq[t]
+        if cum >= k:
+            break
+    seed_chunks = sorted(
+        {r["chunk"] for r in meta if r["term"] in set(seed_terms)}
+    )
+    seed_scores = exact_scores(
+        seg.where(F.col("chunk").isin(seed_chunks))
+    )
+    kth = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    theta = kth[-1]["score"] if len(kth) >= k else float("-inf")
+
+    survivors = sorted(
+        c for c, bound in chunk_bound.items() if bound >= theta - 1e-6
+    )
+    topk = (
+        exact_scores(seg.where(F.col("chunk").isin(survivors)))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    metrics = {
+        "theta": theta,
+        "chunks_total": len(chunk_bound),
+        "chunks_decoded": len(survivors),
+        "chunk_skip_fraction": round(
+            1.0 - len(survivors) / max(len(chunk_bound), 1), 4
+        ),
+    }
+    if collect_metrics:
+        metrics["seed_chunks"] = len(seed_chunks)
+    return topk, metrics

