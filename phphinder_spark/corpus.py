@@ -31,7 +31,20 @@ COMMON_TERMS = [
 ]
 
 
-def make_row(i: int, seed: int = 42, n_docs: int = 0) -> tuple:
+def _zipf_token(rng: random.Random, vocab_size: int = 30000) -> str:
+    """Zipf(s=1)-ranked identifier: P(rank r) ∝ 1/r via inverse-CDF on
+    the harmonic sum approximation (deterministic given rng state)."""
+    import math
+
+    h = math.log(vocab_size) + 0.5772
+    u = rng.random() * h
+    r = min(vocab_size, max(1, int(math.exp(u))))
+    return f"id{r}"
+
+
+def make_row(
+    i: int, seed: int = 42, n_docs: int = 0, zipf: bool = False
+) -> tuple:
     rng = random.Random(f"{seed}:{i}")
     repo = f"org/repo-{i % max(1, (n_docs or 100) // 100)}"
     lang = LANGS[i % len(LANGS)]
@@ -42,7 +55,15 @@ def make_row(i: int, seed: int = 42, n_docs: int = 0) -> tuple:
     toks: list[str] = []
     for _ in range(n_tokens):
         r = rng.random()
-        if r < 0.35:
+        if zipf:
+            # realistic Zipf term-frequency skew: hot keywords still at
+            # ~every doc, identifier tail ranked 1/r — the distribution
+            # where block-max pruning matters (mid-rank terms exist)
+            if r < 0.25:
+                toks.append(rng.choice(HOT_TERMS))
+            else:
+                toks.append(_zipf_token(rng))
+        elif r < 0.35:
             toks.append(rng.choice(HOT_TERMS))
         elif r < 0.85:
             toks.append(rng.choice(COMMON_TERMS))
@@ -60,7 +81,11 @@ def generate_code_corpus_rows(n_docs: int, seed: int = 42) -> list[tuple]:
 
 
 def generate_code_corpus(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    zipf: bool = False,
 ) -> DataFrame:
     """Distributed generation: spark.range -> mapInPandas, one row per id.
 
@@ -70,7 +95,7 @@ def generate_code_corpus(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [make_row(int(i), seed, n_docs) for i in pdf["id"]]
+            rows = [make_row(int(i), seed, n_docs, zipf) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["repo", "path", "commit", "lang", "content"]
             )

@@ -195,16 +195,19 @@ def bm25_topk_blockmax(
     """Block-max pruned BM25 top-k — the WAND-style scale path.
 
     Exact (provably same top-k as ``bm25_topk``; asserted in tests):
-    1. Seed a threshold θ with the exact scores of docs containing the
-       rarest query term (cheapest candidate set).
-    2. Bound every other candidate doc by the sum of per-(term, chunk)
-       block-max contributions: idf·max_tf·(k1+1)/(max_tf+k1(1−b)) —
-       an upper bound since the BM25 tf-saturation term is increasing in
-       tf and decreasing in dl. Docs bounded below θ cannot enter the
-       top-k and are never exactly scored.
-    3. Exact-score the survivors, merge with the seed set, take top-k.
+    1. Collect the tiny (term, chunk) statistics table (≤ n_terms·~256
+       rows) and compute per-chunk upper bounds
+       idf·max_tf·(k1+1)/(max_tf+k1(1−b)) — valid since the BM25
+       tf-saturation term is increasing in tf and decreasing in dl.
+    2. Seed a threshold θ with the exact scores of docs in the few
+       HIGHEST-BOUND chunks (descending bound until the chunks provably
+       hold ≥ k docs) — bounded seed cost even when a query mixes a
+       needle term with corpus-wide hot terms.
+    3. Bound every other doc by its per-(term, chunk) block-max sum;
+       docs bounded below θ cannot enter the top-k and are never
+       exactly scored. Exact-score survivors, merge, take top-k.
 
-    At 100TB the win is step 2: the bound join touches only postings +
+    At 100TB the win is step 3: the bound join touches only postings +
     broadcast chunk stats, and the expensive doclen join + per-doc exact
     scoring runs on the pruned survivor set. Returns (topk_df, metrics).
     """
@@ -220,11 +223,15 @@ def bm25_topk_blockmax(
     hits = hits.cache()
     dl = doclens.where(F.col("field") == field).select("doc_id", "dl")
 
-    dfreq_rows = hits.groupBy("term").agg(F.count("*").alias("df")).collect()
-    if not dfreq_rows:
+    stat_rows = hits.groupBy("term", "chunk").agg(
+        F.max("tf").alias("max_tf"), F.count("*").alias("cdf")
+    ).collect()
+    if not stat_rows:
         empty = postings.sparkSession.createDataFrame([], "doc_id long, score double")
         return empty, {"pruned_fraction": 0.0, "candidates": 0, "scored": 0}
-    dfreq = {r["term"]: r["df"] for r in dfreq_rows}
+    dfreq: dict[str, int] = {}
+    for r in stat_rows:
+        dfreq[r["term"]] = dfreq.get(r["term"], 0) + r["cdf"]
     idf = {t: bm25_idf(n_docs, dfreq[t]) for t in dfreq}
 
     def exact_scores(cand_hits: DataFrame) -> DataFrame:
@@ -248,21 +255,44 @@ def bm25_topk_blockmax(
             .agg(F.round(F.sum("contrib"), 6).alias("score"))
         )
 
-    # 1. seed θ from the rarest terms' docs (expand by ascending df until
-    # the seed set can contain k docs — a single ultra-rare term alone
-    # yields θ=-inf and no pruning)
-    seed_terms: list[str] = []
-    cum = 0
-    for t in sorted(dfreq, key=lambda t: (dfreq[t], t)):
-        seed_terms.append(t)
-        cum += dfreq[t]
-        if cum >= k:
-            break
-    seed_ids = (
-        hits.where(F.col("term").isin(seed_terms)).select("doc_id").distinct()
+    # per-(term, chunk) upper bounds, driver-side on the tiny stats table
+    ub_rows = [
+        (
+            r["term"],
+            r["chunk"],
+            float(
+                idf[r["term"]]
+                * r["max_tf"]
+                * (k1 + 1.0)
+                / (r["max_tf"] + k1 * (1.0 - b))
+            ),
+        )
+        for r in stat_rows
+    ]
+    spark = postings.sparkSession
+    chunk_stats = spark.createDataFrame(
+        ub_rows, "term string, chunk long, ub double"
     )
+    # doc-level bounds: one agg over the term-filtered postings — no
+    # doclen join, no exact scoring
+    bounded_all = (
+        hits.join(F.broadcast(chunk_stats), ["term", "chunk"])
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("bound"))
+        .cache()
+    )
+
+    # 2. seed θ: exact-score the top-4k docs BY BOUND (bound-ordered
+    # probing — the docs most likely to set a high threshold, at a cost
+    # independent of any term's document frequency)
+    seed_ids = [
+        r["doc_id"]
+        for r in bounded_all.orderBy(F.desc("bound"), F.asc("doc_id"))
+        .limit(4 * k)
+        .collect()
+    ]
     seed_scores = exact_scores(
-        hits.join(F.broadcast(seed_ids), "doc_id", "left_semi")
+        hits.where(F.col("doc_id").isin(seed_ids))
     ).cache()
     kth = (
         seed_scores.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -271,26 +301,8 @@ def bm25_topk_blockmax(
     )
     theta = kth[-1]["score"] if len(kth) >= k else float("-inf")
 
-    # 2. block-max bounds for non-seed candidates
-    chunk_stats = (
-        hits.groupBy("term", "chunk").agg(F.max("tf").alias("max_tf"))
-        .withColumn(
-            "ub",
-            F.create_map(*[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])[
-                F.col("term")
-            ]
-            * F.col("max_tf")
-            * F.lit(k1 + 1.0)
-            / (F.col("max_tf") + F.lit(k1 * (1.0 - b))),
-        )
-        .select("term", "chunk", "ub")
-    )
-    bounded = (
-        hits.join(F.broadcast(chunk_stats), ["term", "chunk"])
-        .groupBy("doc_id")
-        .agg(F.sum("ub").alias("bound"))
-        .join(seed_ids, "doc_id", "left_anti")
-    )
+    # 3. survivors: unscored docs whose bound clears θ
+    bounded = bounded_all.where(~F.col("doc_id").isin(seed_ids))
     # 1e-6 slack absorbs the 6-dp rounding of θ (scores are compared rounded)
     survivors = bounded.where(F.col("bound") >= theta - 1e-6).select("doc_id")
 
@@ -318,5 +330,6 @@ def bm25_topk_blockmax(
     rows = topk.collect()
     out = postings.sparkSession.createDataFrame(rows, topk.schema)
     hits.unpersist()
+    bounded_all.unpersist()
     seed_scores.unpersist()
     return out, metrics

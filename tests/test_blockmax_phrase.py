@@ -48,15 +48,32 @@ def test_blockmax_equals_bruteforce_topk(eng, query):
     assert metrics["candidates"] >= 0
 
 
-def test_blockmax_prunes_selective_query(eng):
-    stats = eng.index.stats()
-    # rare term + hot term: θ from the rare term prunes most hot-only docs
-    pruned, metrics = bm25_topk_blockmax(
-        eng.index.postings, eng.index.doclens, ["needle_100", "function"],
-        "content", stats["n_docs"], stats["avgdl"]["content"], k=5, chunk_span=64,
-        collect_metrics=True,
+def test_blockmax_prunes_skewed_postings(spark):
+    """Skewed store (Zipf-like tf): the top-k all carry both query terms
+    with high tf; single-term low-tf docs bound below θ and are pruned."""
+    rows = []
+    for d in range(2000):
+        # every doc has "alpha" tf 1; docs 0..19 additionally "beta" tf 6
+        # and "alpha" tf 8 (stacked): score leaders are unambiguous
+        if d < 20:
+            rows.append(("content", "alpha", d, 8, list(range(8))))
+            rows.append(("content", "beta", d, 6, list(range(8, 14))))
+        else:
+            rows.append(("content", "alpha", d, 1, [0]))
+            if d % 7 == 0:
+                rows.append(("content", "beta", d, 1, [1]))
+    postings = spark.createDataFrame(
+        rows, "field string, term string, doc_id long, tf long, positions array<int>"
     )
-    assert pruned.count() == 5
+    doclens = postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
+    pruned, metrics = bm25_topk_blockmax(
+        postings, doclens, ["alpha", "beta"], "content", 2000, 2.0,
+        k=5, chunk_span=64, collect_metrics=True,
+    )
+    brute = bm25_topk(postings, doclens, ["alpha", "beta"], "content", 2000, 2.0, k=5)
+    assert [(r["doc_id"], r["score"]) for r in pruned.collect()] == [
+        (r["doc_id"], r["score"]) for r in brute.collect()
+    ]
     assert metrics["pruned_fraction"] > 0.5, metrics
 
 
