@@ -91,11 +91,17 @@ def main() -> None:
     blockmax_sec = round(time.time() - t, 3)
 
     total = round(sum(times.values()), 3)
-    scaling = None
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as fh:
-            scaling = json.load(fh)
+    here = os.path.dirname(os.path.abspath(__file__))
+    scaling = {}
+    for key, fname in (
+        ("executors", "BENCH_scaling_executors.json"),  # the north-rule number
+        ("threads", "BENCH_scaling.json"),
+    ):
+        p = os.path.join(here, fname)
+        if os.path.exists(p):
+            with open(p) as fh:
+                scaling[key] = json.load(fh)
+    scaling = scaling or None
     result = {
         "metric": "headline query set wall-clock (sf documents corpus)",
         "value": total,
