@@ -43,7 +43,7 @@ def _zipf_token(rng: random.Random, vocab_size: int = 30000) -> str:
 
 
 def make_row(
-    i: int, seed: int = 42, n_docs: int = 0, zipf: bool = False
+    i: int, seed: int = 42, n_docs: int = 0, zipf: bool | str = False
 ) -> tuple:
     rng = random.Random(f"{seed}:{i}")
     repo = f"org/repo-{i % max(1, (n_docs or 100) // 100)}"
@@ -58,9 +58,15 @@ def make_row(
         if zipf:
             # realistic Zipf term-frequency skew: hot keywords still at
             # ~every doc, identifier tail ranked 1/r — the distribution
-            # where block-max pruning matters (mid-rank terms exist)
+            # where block-max pruning matters (mid-rank terms exist).
+            # zipf="topics": the identifier vocabulary is per-language
+            # (t<lang>_ prefix) — content correlated with an orderable
+            # column, the precondition for doc-id clustering to localize
+            # terms into chunks (IR doc-reordering)
             if r < 0.25:
                 toks.append(rng.choice(HOT_TERMS))
+            elif zipf == "topics":
+                toks.append(f"t{i % len(LANGS)}_{_zipf_token(rng)}")
             else:
                 toks.append(_zipf_token(rng))
         elif r < 0.35:
@@ -85,7 +91,7 @@ def generate_code_corpus(
     n_docs: int,
     seed: int = 42,
     partitions: int | None = None,
-    zipf: bool = False,
+    zipf: bool | str = False,
 ) -> DataFrame:
     """Distributed generation: spark.range -> mapInPandas, one row per id.
 

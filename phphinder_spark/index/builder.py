@@ -251,3 +251,38 @@ def build_index(df: DataFrame, schema: SearchSchema) -> InvertedIndex:
     docs = df.select(*cols)
     postings = build_postings(df, schema)
     return InvertedIndex(schema, docs, postings)
+
+
+def assign_doc_ids_clustered(
+    df: DataFrame, cluster_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Dense deterministic doc_id (1..N) where each distinct
+    ``cluster_cols`` value owns a CONTIGUOUS id range — doc-id
+    reassignment by content clustering, the standard IR trick that makes
+    block/chunk skipping effective (terms of a cluster land in few
+    chunks instead of everywhere).
+
+    Plan: per-cluster counts -> driver-side prefix offsets over the
+    (small) cluster table -> per-cluster row_number windows + broadcast
+    offset join. Deterministic like ``assign_doc_ids``: every id term is
+    a pure function of row content. Caveat: one window partition per
+    cluster — cluster sizes must be bounded (pick cluster_cols with
+    cardinality >> n_executors and size << partition budget; for skewed
+    clusters fall back to ``assign_doc_ids``)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*cluster_cols).count()
+    w_off = Window.orderBy(*cluster_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        *cluster_cols,
+        F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w = Window.partitionBy(*cluster_cols).orderBy(*order_cols)
+    return (
+        df.join(F.broadcast(offsets), cluster_cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_rn", "_off")
+    )

@@ -59,3 +59,40 @@ def test_stemmer_total_and_shrinking(w):
     assert isinstance(out, str)
     # Porter2 never grows a word by more than the +e restorations
     assert len(out) <= len(w) + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyzäöüßáéíóúñàèùâêîôûëïç"),
+        max_size=30,
+    )
+)
+def test_multilang_stemmers_total(w):
+    """de/es/fr Snowball ports are total on arbitrary letter strings and
+    never grow the input beyond the algorithms' bounded rewrites."""
+    from phphinder_spark.analysis.snowball_de import stem as de
+    from phphinder_spark.analysis.snowball_es import stem as es
+    from phphinder_spark.analysis.snowball_fr import stem as fr
+
+    for f in (de, es, fr):
+        out = f(w)
+        assert isinstance(out, str)
+        # ß->ss (de) and eus->eux-style rewrites add at most 2 chars
+        assert len(out) <= len(w) + max(2, w.count("ß"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz äöüáéíóú"),
+        max_size=60,
+    ),
+    st.sampled_from(["de", "es", "fr"]),
+)
+def test_multilang_analyzer_chain_total(text, lang):
+    from phphinder_spark.analysis.analyzers import Analyzer
+
+    analyzer = Analyzer.default(lang)
+    for term, pos in analyzer.analyze(text):
+        assert term != "" and isinstance(pos, int)

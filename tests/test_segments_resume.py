@@ -271,3 +271,55 @@ def test_segment_blockmax_skips_chunks(spark, tmp_path):
     assert m["chunks_total"] == 10
     assert m["chunks_decoded"] == 1
     assert m["chunk_skip_fraction"] == 0.9
+
+
+def test_clustered_ids_make_chunk_skip_effective(spark, tmp_path):
+    """Doc-id clustering by language localizes topic vocabulary into
+    contiguous chunks; a topic-specific query then skips most chunks of
+    the segment store — the IR doc-reordering effect, end to end."""
+    import json as _json
+    import os
+
+    from phphinder_spark.index.builder import assign_doc_ids_clustered
+    from phphinder_spark.index.segments import (
+        encode_segments,
+        segment_bm25_topk,
+        segment_bm25_topk_blockmax,
+        write_segments,
+    )
+
+    corpus = generate_code_corpus(
+        spark, 2000, seed=11, partitions=4, zipf="topics"
+    ).cache()
+    docs = assign_doc_ids_clustered(corpus, ["lang"], ["repo", "path", "commit"])
+    postings = build_postings(docs, code_schema()).cache()
+    out = str(tmp_path / "clustered")
+    os.makedirs(out, exist_ok=True)
+    write_segments(encode_segments(postings, chunk_span=128), os.path.join(out, "segments"))
+    postings.groupBy("field", "term").count().withColumnRenamed("count", "df").write.parquet(
+        os.path.join(out, "dictionary")
+    )
+    dl = postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
+    dl.write.parquet(os.path.join(out, "doclens"))
+    avgdl = dl.where("field = 'content'").agg(F.avg("dl")).first()[0]
+    with open(os.path.join(out, "stats.json"), "w") as fh:
+        _json.dump({"n_docs": 2000, "avgdl": {"content": float(avgdl)}}, fh)
+
+    # topic identifiers live only in lang-0's contiguous range; the hot
+    # term pulls every chunk into the candidate set, and θ (seeded from
+    # the topic chunks) prunes the hot-only chunks without decoding them
+    terms = ["t0_id3", "t0_id5", "function"]
+    cold = segment_bm25_topk(spark, out, terms, "content", k=8).collect()
+    pruned, m = segment_bm25_topk_blockmax(spark, out, terms, "content", k=8)
+    assert [(r["doc_id"], r["score"]) for r in pruned.collect()] == [
+        (r["doc_id"], r["score"]) for r in cold
+    ]
+    assert m["chunks_total"] >= 12  # hot term spans the whole corpus
+    assert m["chunk_skip_fraction"] >= 0.5, m
+
+    # pure topic query: the TERM pushdown alone confines the scan to the
+    # cluster's few chunks — locality the random layout cannot give
+    _, m2 = segment_bm25_topk_blockmax(
+        spark, out, ["t0_id3", "t0_id5", "t0_id9"], "content", k=8
+    )
+    assert m2["chunks_total"] <= 6, m2
