@@ -79,6 +79,65 @@ def encode_posting_group(doc_ids, tfs, positions_list) -> bytes:
     return bytes(out)
 
 
+def _parse_varints_np(payload: bytes):
+    """All varint values of a payload, vectorized: terminator bytes have
+    the high bit clear; each value is the 0x7f-masked bytes of its run,
+    little-endian base-128. The per-BYTE python loop is the decode
+    hot-spot; this replaces it with numpy segment reductions."""
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # byte index within its value = position - start of its run
+    idx = np.arange(len(b), dtype=np.int64)
+    run_id = np.searchsorted(ends, idx)
+    shifts = (idx - starts[run_id]) * 7
+    contrib = (b & 0x7F).astype(np.int64) << shifts
+    return np.add.reduceat(contrib, starts)
+
+
+def decode_posting_group_np(payload: bytes, df: int):
+    """Vectorized inverse of ``encode_posting_group`` (same output as
+    ``decode_posting_group``, asserted in tests). Per-byte parsing and
+    the per-doc position cumsums are all segmented numpy ops; python
+    touches only one O(df) header walk and list slicing."""
+    import numpy as np
+
+    vals = _parse_varints_np(payload)
+    doc_ids = np.cumsum(vals[:df]).tolist()
+    tfs = vals[df : 2 * df].tolist()
+    tail_np = vals[2 * df :]
+    tail = tail_np.tolist()
+    # header walk: counts + header byte positions (O(df), no slicing)
+    counts = []
+    headers = []
+    p = 0
+    for _ in range(df):
+        n = tail[p]
+        counts.append(n)
+        headers.append(p)
+        p += 1 + n
+    if p == df:  # all position lists empty
+        return doc_ids, tfs, [[] for _ in range(df)]
+    mask = np.ones(len(tail), dtype=bool)
+    mask[headers] = False
+    deltas = tail_np[mask]
+    csum = np.cumsum(deltas)
+    # segmented cumsum: subtract the running total at each doc's start
+    starts = np.cumsum([0] + counts[:-1])
+    bases = np.where(starts > 0, csum[starts - 1], 0)
+    abs_pos = (csum - np.repeat(bases, counts)).tolist()
+    positions = []
+    s = 0
+    for n in counts:
+        positions.append(abs_pos[s : s + n])
+        s += n
+    return doc_ids, tfs, positions
+
+
 def decode_posting_group(payload: bytes, df: int):
     doc_ids = []
     pos = 0
@@ -193,7 +252,7 @@ def decode_segments(segments: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                doc_ids, tfs, positions = decode_posting_group(
+                doc_ids, tfs, positions = decode_posting_group_np(
                     bytes(row.payload), int(row.df)
                 )
                 for d, t, p in zip(doc_ids, tfs, positions):

@@ -323,3 +323,29 @@ def test_clustered_ids_make_chunk_skip_effective(spark, tmp_path):
         spark, out, ["t0_id3", "t0_id5", "t0_id9"], "content", k=8
     )
     assert m2["chunks_total"] <= 6, m2
+
+
+def test_vectorized_decode_equals_reference_decode():
+    """decode_posting_group_np == the pure-python decoder on adversarial
+    payloads (multi-byte varints, empty positions, big ids)."""
+    import random
+
+    from phphinder_spark.index.segments import (
+        decode_posting_group,
+        decode_posting_group_np,
+        encode_posting_group,
+    )
+
+    rng = random.Random(3)
+    for _ in range(50):
+        df = rng.randrange(1, 40)
+        doc_ids = sorted(rng.sample(range(1, 10**13), df))
+        tfs = [rng.randrange(1, 300) for _ in range(df)]
+        poss = [
+            sorted(rng.sample(range(0, 100000), rng.randrange(0, 6)))
+            for _ in range(df)
+        ]
+        payload = encode_posting_group(doc_ids, tfs, poss)
+        assert decode_posting_group_np(payload, df) == decode_posting_group(
+            payload, df
+        )
