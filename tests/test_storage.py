@@ -138,3 +138,42 @@ def test_engine_on_snapshot_storage_end_to_end(spark, tmp_path):
 def test_iceberg_storage_fails_fast_without_catalog(spark):
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         IcebergStorage(spark, "nosuchcatalog", "db", "idx")
+
+
+def test_fifty_flushes_bounded_and_equal_to_clean_build(spark):
+    """VERDICT r01 #6 'done' criterion: 50 incremental flushes (with
+    upserts mixed in) keep plan depth constant AND produce results
+    identical to one clean bulk flush of the same final document set."""
+    eng = SparkSearchEngine(spark, make_test_schema())
+    final_docs = {}
+    for k in range(50):
+        d = _doc(k % 20, f"round {k} words w{k % 7}")  # 20 keys, rewritten
+        final_docs[k % 20] = d
+        eng.add_document(d)
+        eng.flush()
+    plan = eng.index.docs._jdf.queryExecution().optimizedPlan().toString()
+    depth_incremental = plan.count("\n")
+
+    clean = SparkSearchEngine(spark, make_test_schema())
+    clean.add_documents([final_docs[i] for i in sorted(final_docs)])
+    clean.flush()
+
+    def norm_docs(e):
+        return sorted(
+            tuple(r[c] for c in sorted(r.asDict()))
+            for r in e.index.docs.collect()
+        )
+
+    def norm_postings(e):
+        return sorted(
+            (r["field"], r["term"], r["doc_id"], r["tf"], list(r["positions"]))
+            for r in e.index.postings.collect()
+        )
+
+    assert norm_docs(eng) == norm_docs(clean)
+    assert norm_postings(eng) == norm_postings(clean)
+    # a fresh single-flush engine's plan depth bounds the incremental one
+    clean_depth = (
+        clean.index.docs._jdf.queryExecution().optimizedPlan().toString().count("\n")
+    )
+    assert depth_incremental <= clean_depth + 2, (depth_incremental, clean_depth)
