@@ -198,6 +198,15 @@ def _q_dedup_embedding(spark, sf_dir):
     ).select("a_id", "b_id")
 
 
+def _q_dedup_embedding_srp(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dedup.embedding_dup_pairs_srp(
+        emb, threshold=0.35, n_bits=6, n_tables=6
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -300,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_srp": _q_dedup_embedding_srp,
         "ann_topk": _q_ann_topk,
         "ann_srp": _q_ann_srp,
         "text_token_counts": _q_token_counts,
@@ -506,7 +516,9 @@ FROM ranked WHERE rn = 1
     # left-to-right double fold + `> 0` are bit-identical across engines
     # (same literals, same order), so the LSH candidate sets match; the
     # final ranking reuses the round-6 cosine ordering proven by ann_topk.
-    planes = rademacher_planes(64, 6, 4, seed=42)
+    # 6 tables drawn once; the first 4 are the same draw as a 4-table
+    # call (sequential rng), so ann_srp's 4-table oracle is unchanged
+    planes = rademacher_planes(64, 6, 6, seed=42)
     def _bucket_sql(tbl: int) -> str:
         bits = []
         for b, plane in enumerate(planes[tbl]):
@@ -543,6 +555,25 @@ SELECT query_id, vec_id FROM (
 ) WHERE rnk <= 10
 """
 
+    # dedup_embedding_srp: same Rademacher buckets (6 tables), cosine verify
+    srp_long6 = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS tbl, ({_bucket_sql(t)}) AS bkt FROM emb"
+        for t in range(6)
+    )
+    emb_srp = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+long AS ({srp_long6}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM long a JOIN long b ON a.tbl = b.tbl AND a.bkt = b.bkt
+  WHERE a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM cand JOIN emb ea ON ea.vec_id = a_id JOIN emb eb ON eb.vec_id = b_id
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+"""
+
     fingerprint = (
         "SELECT doc_id, coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform({_TOKS}, t -> {H31.format(x='t')})), "
@@ -551,6 +582,7 @@ SELECT query_id, vec_id FROM (
 
     return {
         "ann_srp": ann_srp,
+        "dedup_embedding_srp": emb_srp,
         "dedup_minhash": minhash,
         "dedup_simhash": simhash,
         "text_langid": langid,

@@ -300,3 +300,58 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def embedding_dup_pairs_srp(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a caller-supplied blocking column:
+    candidates share a Rademacher-SRP bucket in >= 1 of ``n_tables``
+    tables, then exact cosine >= threshold verifies. The banding is part
+    of the contract (recall = 1-(1-(1-θ/π)^n_bits)^n_tables; ~0.97 at
+    cosine 0.95 with the defaults) and is exactly replayable in SQL, so
+    the operator carries a value-level DuckDB oracle.
+
+    Scale: per-(table, bucket) self-join — 2^n_bits uniform buckets per
+    table, never an all-pairs or label-dependent join."""
+    from phphinder_spark.ops.similarity import rademacher_planes, srp_bucket_col
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = rademacher_planes(dim, n_bits, n_tables, seed)
+    buckets = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[srp_bucket_col(vec_col, planes[t]) for t in range(n_tables)])
+        ).alias("tbl", "bkt"),
+    )
+    a = buckets.select(F.col("id").alias("a_id"), "tbl", "bkt")
+    b = buckets.select(F.col("id").alias("b_id"), "tbl", "bkt")
+    # dedupe candidate id pairs BEFORE touching vectors: the multi-table
+    # union shuffles only (id, tbl, bkt) triples
+    cands = (
+        a.join(b, ["tbl", "bkt"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x / F.greatest(norm, F.lit(1e-12))).alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_v", "b_v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cands.join(vecs.select(F.col("id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
+        .join(vecs.select(F.col("id").alias("b_id"), F.col("v").alias("b_v")), "b_id")
+        .withColumn("cosine", F.round(dot, 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

@@ -237,3 +237,27 @@ def test_sample_frames_plan(spark):
     frames = multimodal.sample_frames(media, every_ms=1000)
     vids = media.where("kind = 'video'").count()
     assert frames.count() == vids * 6  # 0..5000 step 1000
+
+
+def test_embedding_dedup_srp_autoblocking(spark):
+    """No blocking column needed: a planted near-duplicate vector pair is
+    found via SRP buckets; an orthogonal vector is not paired."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    v = rng.normal(size=64)
+    v = v / np.linalg.norm(v)
+    near = v + rng.normal(scale=0.02, size=64)
+    near = near / np.linalg.norm(near)
+    w = rng.normal(size=64)
+    w = w - (w @ v) * v  # orthogonal to v
+    w = w / np.linalg.norm(w)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in v]), (2, [float(x) for x in near]),
+         (3, [float(x) for x in w])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["cosine"]
+             for r in dedup.embedding_dup_pairs_srp(df, threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.97
+    assert (1, 3) not in pairs and (2, 3) not in pairs
