@@ -73,3 +73,48 @@ def incremental_index_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    content_col: str = "content",
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup over a content column with bounded state:
+    sha2(content) keys ``dropDuplicatesWithinWatermark`` — duplicates
+    arriving within the watermark horizon are dropped; the content-hash
+    state is evicted once the watermark passes, so state size tracks the
+    event-time window, never the full history. (For unbounded-history
+    dedup, run the batch ``ops.dedup.exact_duplicates`` over the sink —
+    streaming-global state at 100 TB is the wrong tool.)"""
+    return (
+        stream.withColumn("_h", F.sha2(F.col(content_col), 256))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
+def windowed_ingest_stats(
+    stream: DataFrame,
+    event_time_col: str = "event_time",
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "5 minutes",
+    group_col: str | None = "lang",
+) -> DataFrame:
+    """Watermarked sliding-window ingestion metrics (docs, bytes) — the
+    late-data-correct way to produce the north_star's build metrics
+    (docs/sec) from a stream: events later than ``watermark`` are
+    dropped deterministically, windows finalize exactly once."""
+    win = F.window(F.col(event_time_col), window, slide or window)
+    keys = [win] + ([F.col(group_col)] if group_col else [])
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("content")).alias("n_bytes"),
+        )
+    )

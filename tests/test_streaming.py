@@ -57,3 +57,80 @@ def test_streaming_matches_bulk(spark, staged):
     docs = spark.read.parquet(f"{out}/docs")
     assert "content_sha256" in docs.columns
     assert docs.count() == corpus.count()
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Duplicate content arriving within the watermark is dropped; state
+    is keyed on the content hash (exactly-once per distinct content)."""
+    from datetime import datetime
+
+    from phphinder_spark.streaming.incremental import dedup_stream
+
+    inp = str(tmp_path / "in")
+    rows = [
+        (datetime(2026, 1, 1, 0, 0, 0), "r1", "alpha beta"),
+        (datetime(2026, 1, 1, 0, 0, 10), "r2", "alpha beta"),  # dup
+        (datetime(2026, 1, 1, 0, 0, 20), "r3", "gamma delta"),
+        (datetime(2026, 1, 1, 0, 0, 30), "r4", "alpha beta"),  # dup
+    ]
+    spark.createDataFrame(
+        rows, "event_time timestamp, repo string, content string"
+    ).write.parquet(inp)
+    stream = spark.readStream.schema(
+        "event_time timestamp, repo string, content string"
+    ).parquet(inp)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["content"] for r in spark.read.parquet(out).collect())
+    assert got == ["alpha beta", "gamma delta"]
+
+
+def test_windowed_ingest_stats(spark, tmp_path):
+    from datetime import datetime
+
+    from phphinder_spark.streaming.incremental import windowed_ingest_stats
+
+    inp = str(tmp_path / "in")
+    ddl = "event_time timestamp, lang string, content string"
+    # one file per micro-batch: the watermark advances BETWEEN batches,
+    # so the minute-0 window finalizes when the far-future wave arrives
+    waves = [
+        [(datetime(2026, 1, 1, 0, 0, 5), "py", "aaaa"),
+         (datetime(2026, 1, 1, 0, 0, 50), "py", "bb")],
+        [(datetime(2026, 1, 1, 0, 1, 10), "go", "cccccc")],
+        [(datetime(2026, 1, 1, 1, 0, 0), "md", "x")],
+    ]
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, ddl).write.parquet(f"{inp}/w{i}.parquet")
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(inp)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        windowed_ingest_stats(stream, window="1 minute")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lang"], r["window"]["start"].minute): (r["n_docs"], r["n_bytes"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # append mode emits only watermark-finalized windows: minute 0 closes
+    # once the minute-1 event advances the watermark past it
+    assert got[("py", 0)] == (2, 6)
