@@ -212,6 +212,9 @@ class SparkSearchEngine:
         src/Index/AbstractStorage.php:47-64)."""
         if self.index is not None:
             self.index.unpersist()
+        if self._source_df is not None:
+            self._source_df.unpersist()
+            self._source_df = None
         self.storage.truncate()
         self.index = None
         self._buffer = []
@@ -574,15 +577,20 @@ class SparkSearchEngine:
         """Full reference semantics; returns (doc_id, terms, fields,
         fulltext, weight, <stored fields>) ordered like the reference."""
         if self.index is None:
-            # reference searches over empty storage return no results
-            stored = ", ".join(
-                f"`{f}` string" for f in self.schema.stored_fields
-            )
-            return self.spark.createDataFrame(
-                [],
-                "doc_id long, terms array<string>, fields array<string>, "
-                "fulltext boolean, weight double" + (", " + stored if stored else ""),
-            )
+            # reference searches over empty storage return no results;
+            # stored columns keep their DECLARED types so unions with
+            # non-empty results stay schema-compatible
+            fields = [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("terms", T.ArrayType(T.StringType())),
+                T.StructField("fields", T.ArrayType(T.StringType())),
+                T.StructField("fulltext", T.BooleanType()),
+                T.StructField("weight", T.DoubleType()),
+            ] + [
+                T.StructField(f, self.schema.spark_type(f))
+                for f in self.schema.stored_fields
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
         query = QueryParser(ANY_FIELD).parse(phrase)
         ctx = _Ctx()
         ctx.term_hits = self._prefetch_term_hits(query)

@@ -206,6 +206,15 @@ class InvertedIndex:
     def unpersist(self) -> None:
         self.docs.unpersist()
         self.postings.unpersist()
+        # derived caches materialize lazily (dict_df on demand, ngram_df
+        # behind the typo path) — release them too or every flush's
+        # _refresh_index leaks one cached dictionary + bigram index
+        if self._dict is not None:
+            self._dict.unpersist()
+            self._dict = None
+        if self._ngram is not None:
+            self._ngram.unpersist()
+            self._ngram = None
 
 
 def assign_doc_ids(df: DataFrame, order_cols: list[str], n_buckets: int = 1024) -> DataFrame:

@@ -423,7 +423,12 @@ def segment_bm25_topk_blockmax(
     if not dict_rows:
         return (
             spark.createDataFrame([], "doc_id long, score double"),
-            {"chunks_total": 0, "chunks_decoded": 0},
+            {
+                "theta": float("-inf"),
+                "chunks_total": 0,
+                "chunks_decoded": 0,
+                "chunk_skip_fraction": 0.0,
+            },
         )
     dfreq = {r["term"]: r["df"] for r in dict_rows}
     idf = {t: bm25_idf(n_docs, dfreq[t]) for t in dfreq}

@@ -228,16 +228,23 @@ class ParquetSnapshotStorage(IndexStorage):
             "committed_at": time.time(),
         }
         # delete file covers replaced ids AND the batch's own ids (MERGE
-        # "WHEN MATCHED" arm): rows in earlier files with these ids die
-        del_ids = sorted(
-            set(replaced_doc_ids)
-            | {r["doc_id"] for r in new_docs.select("doc_id").collect()}
-        )
-        if del_ids and self._snapshot["docs"]:
+        # "WHEN MATCHED" arm): rows in earlier files with these ids die.
+        # Written as a DataFrame job — no driver-side collect of ids, so
+        # the bulk-seed commit of a huge corpus stays distributed (and no
+        # delete file is needed at all for the very first commit)
+        if self._snapshot["docs"]:
+            del_df = new_docs.select("doc_id")
+            if replaced_doc_ids:
+                del_df = del_df.unionByName(
+                    self.spark.createDataFrame(
+                        [(int(i),) for i in sorted(set(replaced_doc_ids))],
+                        "doc_id long",
+                    )
+                )
             del_file = f"deletes/del-{seq}.parquet"
-            self.spark.createDataFrame(
-                [(i,) for i in del_ids], "doc_id long"
-            ).write.mode("overwrite").parquet(os.path.join(self.root, del_file))
+            del_df.distinct().write.mode("overwrite").parquet(
+                os.path.join(self.root, del_file)
+            )
             snap["deletes"] = snap["deletes"] + [{"seq": seq, "file": del_file}]
         self._publish(snap)
 
@@ -265,11 +272,37 @@ class ParquetSnapshotStorage(IndexStorage):
                 "committed_at": time.time(),
             }
         )
+        self._remove_unreferenced()
+
+    def _remove_unreferenced(self) -> None:
+        """Physically remove data/delete files and snapshot manifests not
+        referenced by the CURRENT snapshot — superseded deltas after
+        compact() and orphans from crashed commits. Runs only after a
+        successful publish, so readers of CURRENT never lose a file."""
+        import shutil
+
+        live = {
+            e["file"]
+            for e in self._snapshot["docs"]
+            + self._snapshot["postings"]
+            + self._snapshot["deletes"]
+        }
+        for sub in ("data", "deletes"):
+            base = os.path.join(self.root, sub)
+            for name in os.listdir(base):
+                rel = f"{sub}/{name}"
+                if rel not in live:
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        cur_snap = f"snap-{self._snapshot['seq']}.json"
+        for name in os.listdir(self.root):
+            if name.startswith("snap-") and name.endswith(".json") and name != cur_snap:
+                os.remove(os.path.join(self.root, name))
 
     def truncate(self) -> None:
         self._publish(
             {"seq": self._snapshot["seq"] + 1, "docs": [], "postings": [], "deletes": []}
         )
+        self._remove_unreferenced()
 
 
 class IcebergStorage(IndexStorage):
@@ -311,6 +344,18 @@ class IcebergStorage(IndexStorage):
             return
         new_docs.createOrReplaceTempView("_batch_docs")
         new_postings.createOrReplaceTempView("_batch_postings")
+        # replaced ids are removed FIRST: the engine reuses a replaced
+        # doc's id for its replacement, so these ids are usually also in
+        # the batch — deleting after the MERGE would destroy the rows the
+        # MERGE just upserted (caught in review; order is load-bearing)
+        if replaced_doc_ids:
+            ids = ", ".join(str(i) for i in sorted(set(replaced_doc_ids)))
+            self.spark.sql(
+                f"DELETE FROM {self.docs_table} WHERE doc_id IN ({ids})"
+            )
+            self.spark.sql(
+                f"DELETE FROM {self.postings_table} WHERE doc_id IN ({ids})"
+            )
         cols = new_docs.columns
         sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != "doc_id")
         names = ", ".join(cols)
@@ -327,14 +372,6 @@ class IcebergStorage(IndexStorage):
             f"DELETE FROM {self.postings_table} t WHERE t.doc_id IN "
             f"(SELECT doc_id FROM _batch_docs)"
         )
-        if replaced_doc_ids:
-            ids = ", ".join(str(i) for i in sorted(set(replaced_doc_ids)))
-            self.spark.sql(
-                f"DELETE FROM {self.docs_table} WHERE doc_id IN ({ids})"
-            )
-            self.spark.sql(
-                f"DELETE FROM {self.postings_table} WHERE doc_id IN ({ids})"
-            )
         new_postings.writeTo(self.postings_table).append()
 
     def truncate(self) -> None:

@@ -322,7 +322,14 @@ def embedding_dup_pairs_srp(
     table, never an all-pairs or label-dependent join."""
     from phphinder_spark.ops.similarity import rademacher_planes, srp_bucket_col
 
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty corpus (or null first vector): no pairs, like the other
+        # dedup operators — don't crash pipelines over empty partitions
+        return emb.sparkSession.createDataFrame(
+            [], "a_id long, b_id long, cosine double"
+        )
+    dim = len(first[0])
     planes = rademacher_planes(dim, n_bits, n_tables, seed)
     buckets = emb.select(
         F.col(id_col).alias("id"),

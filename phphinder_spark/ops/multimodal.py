@@ -226,14 +226,24 @@ def extract_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
                 pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
                 payload = bytes(payload or b"")
-                if kind == "image":
-                    vec = image_features(decode_image(payload))
-                elif kind == "audio":
-                    vec = audio_features(*decode_wav(payload))
-                else:  # video: metadata-only until a container codec exists
-                    vec = np.zeros(FEATURE_DIM)
-                    vec[0] = (dur or 0) / 1000.0
-                    vec[1] = len(payload)
+                try:
+                    if kind == "image":
+                        vec = image_features(decode_image(payload))
+                    elif kind == "audio":
+                        vec = audio_features(*decode_wav(payload))
+                    else:  # video: metadata-only, no container codec yet
+                        vec = np.zeros(FEATURE_DIM)
+                        vec[0] = (dur or 0) / 1000.0
+                        vec[1] = len(payload)
+                except (NotImplementedError, ValueError):
+                    # undecodable payload (compressed codec / corrupt
+                    # bytes): deterministic digest-seeded fallback
+                    # features — one bad row must not fail the batch job
+                    digest = hashlib.sha256(payload).digest()
+                    rng = np.random.RandomState(
+                        np.frombuffer(digest[:4], dtype=np.uint32)[0]
+                    )
+                    vec = -1.0 - rng.random(FEATURE_DIM)  # negative marker
                 vec = np.resize(vec, FEATURE_DIM)
                 feats.append([float(round(v, 6)) for v in vec])
             out["features"] = feats

@@ -228,7 +228,10 @@ def bm25_topk_blockmax(
     ).collect()
     if not stat_rows:
         empty = postings.sparkSession.createDataFrame([], "doc_id long, score double")
-        return empty, {"pruned_fraction": 0.0, "candidates": 0, "scored": 0}
+        metrics = {"theta": float("-inf")}
+        if collect_metrics:
+            metrics.update(candidates=0, scored=0, pruned_fraction=0.0)
+        return empty, metrics
     dfreq: dict[str, int] = {}
     for r in stat_rows:
         dfreq[r["term"]] = dfreq.get(r["term"], 0) + r["cdf"]

@@ -226,3 +226,23 @@ def test_multilanguage_analyzer_end_to_end(spark):
     # 'el' is a Spanish stop word: dropped at index AND query time
     assert eng.find_docs_by_index("el") == {"text": []}
     assert eng.find_docs_by_index("gato") == {"text": [1]}
+
+
+def test_empty_index_search_schema_is_typed(spark):
+    """Empty-index search_df keeps declared stored-field types so unions
+    with non-empty results are schema-compatible."""
+    from phphinder_spark.schema import IS_INDEXED, IS_STORED, SearchSchema
+
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED, "stars": IS_STORED},
+        types={"stars": "long"},
+        name="typed",
+    )
+    eng = SparkSearchEngine(spark, schema)
+    empty = eng.search_df("anything")
+    assert dict(empty.dtypes)["stars"] == "bigint"
+    eng.add_document({"text": "hello world", "stars": 5})
+    eng.flush()
+    full = eng.search_df("hello")
+    assert dict(full.dtypes)["stars"] == "bigint"
+    assert full.unionByName(empty).count() == 1

@@ -261,3 +261,24 @@ def test_embedding_dedup_srp_autoblocking(spark):
              for r in dedup.embedding_dup_pairs_srp(df, threshold=0.9).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.97
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dedup_srp_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dedup.embedding_dup_pairs_srp(df).count() == 0
+
+
+def test_multimodal_corrupt_payload_does_not_fail_batch(spark):
+    """A compressed/corrupt payload yields deterministic fallback
+    features (negative marker) instead of failing the whole job."""
+    rows = [
+        (0, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"0" * 64), "image/png", 8, 8, None),
+        (1, "image", bytearray(multimodal.encode_bmp(
+            __import__("numpy").zeros((4, 4, 3), dtype="uint8"))), "image/bmp", 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert all(v < 0 for v in out[0])  # fallback marker
+    assert out[1][0] == 0.0  # real decode: black image mean
+    again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert out == again

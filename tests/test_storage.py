@@ -177,3 +177,53 @@ def test_fifty_flushes_bounded_and_equal_to_clean_build(spark):
         clean.index.docs._jdf.queryExecution().optimizedPlan().toString().count("\n")
     )
     assert depth_incremental <= clean_depth + 2, (depth_incremental, clean_depth)
+
+
+def test_compact_removes_superseded_files(spark, tmp_path):
+    """compact() physically reclaims superseded delta/delete files and
+    old snapshot manifests (the documented crash-orphan cleanup)."""
+    import os
+
+    root = str(tmp_path / "gc")
+    s = ParquetSnapshotStorage(spark, root)
+    for k in range(4):
+        docs = spark.createDataFrame([(k + 1, f"d{k}")], "doc_id long, text string")
+        posts = spark.createDataFrame(
+            [("text", f"t{k}", k + 1, 1, [0])],
+            "field string, term string, doc_id long, tf long, positions array<int>",
+        )
+        s.commit(docs, posts, [])
+    # plant a crash orphan: data file written, manifest never published
+    orphan = os.path.join(root, "data", "docs-999.parquet")
+    spark.createDataFrame([(99, "orphan")], "doc_id long, text string").write.parquet(orphan)
+    n_before = sum(len(fs) for _, _, fs in os.walk(root))
+    live_docs = sorted(r["doc_id"] for r in s.docs().collect())
+    s.compact()
+    assert sorted(r["doc_id"] for r in s.docs().collect()) == live_docs
+    assert not os.path.exists(orphan)
+    n_after = sum(len(fs) for _, _, fs in os.walk(root))
+    assert n_after < n_before
+    data_files = os.listdir(os.path.join(root, "data"))
+    assert len(data_files) == 2  # one docs + one postings file
+    snaps = [f for f in os.listdir(root) if f.startswith("snap-")]
+    assert len(snaps) == 1
+
+
+def test_snapshot_commit_has_no_driver_collect(spark, tmp_path):
+    """The commit path is collect-free (scale contract): assert no
+    delete file is written on the first (seed) commit and that upsert
+    commits produce delete files via a distributed write."""
+    import os
+
+    root = str(tmp_path / "nocollect")
+    s = ParquetSnapshotStorage(spark, root)
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    posts = spark.createDataFrame(
+        [("text", "a", 1, 1, [0])],
+        "field string, term string, doc_id long, tf long, positions array<int>",
+    )
+    s.commit(docs, posts, [])
+    assert os.listdir(os.path.join(root, "deletes")) == []
+    s.commit(docs, posts, [2])
+    assert len(os.listdir(os.path.join(root, "deletes"))) == 1
+    assert sorted(r["doc_id"] for r in s.docs().collect()) == [1, 2]
