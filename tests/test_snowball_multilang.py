@@ -33,6 +33,8 @@ from phphinder_spark.analysis.snowball_fr import stem as stem_fr
         ("haus", "haus"),  # s after u: not a valid s-ending
         ("verständnis", "verstandnis"),
         ("grösse", "gross"),  # ß/ss + e removal
+        ("hoffnungen", "hoffnung"),  # en in R1; ung NOT in R2
+        ("laufen", "lauf"),
     ],
 )
 def test_german_stemmer(word, expected):
@@ -53,6 +55,7 @@ def test_german_stemmer(word, expected):
         ("trabajadores", "trabaj"),  # adores in R2
         ("lógica", "logic"),  # ica not in R2; step 3 a in RV
         ("che", "che"),
+        ("haciéndola", "hac"),  # step 0 attached pronoun + accent repair
     ],
 )
 def test_spanish_stemmer(word, expected):
@@ -70,6 +73,8 @@ def test_spanish_stemmer(word, expected):
         ("actions", "action"),  # step 4: s removal; ion kept (not R2)
         ("conditionnellement", "conditionnel"),
         ("franchise", "franchis"),
+        ("majestueusement", "majestu"),  # ement in RV then eus in R2
+        ("chienne", "chien"),  # step 5 undouble enn
     ],
 )
 def test_french_stemmer(word, expected):
