@@ -647,9 +647,14 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
             "round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) "
             "/ greatest(length(text), 1), 6) AS punct_ratio FROM documents"
         ),
+        # CAST(... AS BIGINT): DuckDB's sum(BIGINT) returns HUGEINT (int128),
+        # which pandas/Arrow fetch paths coerce to float64 — hashing 19525.0
+        # against Spark's long 19525.  The local fetchall() gate masked this
+        # (HUGEINT -> Python int); the driver's Arrow path did not.
         "agg_lang_stats": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
-            "round(sum(n_chars) / count(*), 6) AS avg_chars "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "round(CAST(sum(n_chars) AS BIGINT) / count(*), 6) AS avg_chars "
             "FROM documents GROUP BY lang"
         ),
         "corpus_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",

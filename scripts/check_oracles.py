@@ -19,10 +19,14 @@ import __spark_entry__ as entrymod
 def norm_val(v):
     import decimal
 
-    if isinstance(v, bool):
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
         return "t" if v else "f"
-    if isinstance(v, (float, decimal.Decimal)):
+    if isinstance(v, (float, decimal.Decimal, np.floating)):
         return f"{float(v):.6f}"
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
@@ -80,7 +84,12 @@ def main():
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch via pandas (Arrow), NOT fetchall(): the driver harness
+            # fetches through Arrow, where DuckDB HUGEINT becomes float64 —
+            # fetchall() masks that class of type-canonicalization mismatch
+            # (the r02 agg_lang_stats red cell)
+            odf = res.df()
+            orows = [list(t) for t in odf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append(name)
             print(f"{name}: ORACLE ERROR {e}")
