@@ -471,16 +471,23 @@ bits AS (
   SELECT d.id, CAST(coalesce(sh.sh, 0) AS BIGINT) AS sh
   FROM d LEFT JOIN sh ON d.id = sh.id
 ), chunk AS (
-  SELECT id, CAST(b // 9 AS INT) AS ci,
-         sum(CASE WHEN acc > 0 THEN CAST(2**(b % 9) AS BIGINT) ELSE 0 END) AS cv
-  FROM bits WHERE b < 63 GROUP BY 1, 2
+  -- simhash_chunk_widths(6): 8 chunks x 8 bits over all 64 fingerprint
+  -- bits; candidates collide on PAIRS of intact chunks (C(8,2)=28 combo
+  -- tables, 16-bit keys) — same two-chunk pigeonhole as the Spark plan
+  SELECT id, CAST(b // 8 AS INT) AS ci,
+         sum(CASE WHEN acc > 0 THEN CAST(2**(b % 8) AS BIGINT) ELSE 0 END) AS cv
+  FROM bits GROUP BY 1, 2
 ), chunkfull AS (
   SELECT d.id, r.b AS ci, coalesce(c.cv, 0) AS cv
-  FROM d CROSS JOIN range(0, 7) r(b)
+  FROM d CROSS JOIN range(0, 8) r(b)
   LEFT JOIN chunk c ON c.id = d.id AND c.ci = r.b
+), combo AS (
+  SELECT c1.id, c1.ci AS ci, c2.ci AS cj, c1.cv * 256 + c2.cv AS cv
+  FROM chunkfull c1 JOIN chunkfull c2 ON c1.id = c2.id AND c1.ci < c2.ci
 ), cand AS (
   SELECT DISTINCT a.id AS a_id, b.id AS b_id
-  FROM chunkfull a JOIN chunkfull b ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+  FROM combo a JOIN combo b
+    ON a.ci = b.ci AND a.cj = b.cj AND a.cv = b.cv AND a.id < b.id
 )
 SELECT a_id, b_id, CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
 FROM cand JOIN allsh sa ON sa.id = a_id JOIN allsh sb ON sb.id = b_id

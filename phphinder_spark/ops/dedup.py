@@ -238,6 +238,16 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_chunk_widths(max_hamming: int) -> list[int]:
+    """Bit widths of the (max_hamming + 2) pigeonhole chunks, distributing
+    64 bits as evenly as possible (wider chunks first). Shared with the
+    generated DuckDB oracle so both engines bucket identically."""
+    n_chunks = max_hamming + 2
+    return [
+        64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)
+    ]
+
+
 def simhash_pairs(
     df: DataFrame,
     col: str = "text",
@@ -248,26 +258,32 @@ def simhash_pairs(
     """64-bit SimHash near-dup pairs with hamming <= max_hamming.
 
     The per-token 64-bit hash is md5_number_lower (DuckDB-identical, see
-    functions/hashing.py) and the ±1 bit accumulation is one JVM
-    aggregate over the token array — no Python in the hot path, and the
-    whole pipeline has a value-level SQL oracle.
+    functions/hashing.py). The ±1 bit accumulation runs in an Arrow-batched
+    numpy pandas UDF (the input_hint path) producing the identical
+    md5_number_lower-derived values DuckDB computes, so the whole pipeline
+    carries a value-level SQL oracle. (A previous pure-Column revision used
+    interpreted higher-order functions — 64 array lambdas per token — and
+    ran ~16x slower; Spark HOFs are not codegen'd.)
 
-    Candidates via the pigeonhole trick: split the accumulated bit vector
-    into (max_hamming+1) chunks — a pair within the radius has differences
-    in at most max_hamming chunks, so it collides in at least one exact
-    (chunk_idx, chunk_value) bucket; the self-join runs per bucket. Verify
-    with bit_count(xor) on the packed 64-bit value.
+    Candidates via the two-chunk pigeonhole: split the 64 fingerprint bits
+    into (max_hamming + 2) chunks and key the self-join on every PAIR of
+    chunks — C(n_chunks, 2) combo tables. A pair within the radius differs
+    in at most max_hamming chunks, leaving >= 2 chunks intact, so it
+    collides in >= 1 combo bucket (lossless). Verify with bit_count(xor)
+    on the packed 64-bit value.
 
-    The ±1 bit accumulation runs in an Arrow-batched pandas UDF (the
-    input_hint path) producing the identical md5_number_lower-derived
-    values DuckDB computes, so the value-level SQL oracle is unchanged.
-    (A previous pure-Column revision used interpreted higher-order
-    functions — 64 array lambdas per token — and ran ~16x slower.)"""
+    Scale: the single-chunk scheme this replaces had only 2^(64/(h+1))
+    buckets per chunk index — 512 at max_hamming=6, so at 10^9+ docs every
+    bucket held ~N/512 docs and the self-join went quadratic. Two-chunk
+    keys square the bucket space (65,536 per combo at max_hamming=6) for a
+    constant-factor row blow-up: C(h+2,2) exploded rows per doc instead of
+    h+1 (28 vs 7 at h=6)."""
     import hashlib
     import re
 
-    n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
+    widths = simhash_chunk_widths(max_hamming)
+    n_chunks = len(widths)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
     @F.pandas_udf("struct<sh: long, chunks: array<long>>")
     def sim_udf(s: pd.Series) -> pd.DataFrame:
@@ -289,9 +305,11 @@ def simhash_pairs(
             sh = int(pos[:63] @ (1 << np.arange(63, dtype=np.int64)))
             if pos[63]:
                 sh -= 1 << 63
-            weights = 1 << np.arange(chunk_bits, dtype=np.int64)
             cvs = [
-                int(pos[i * chunk_bits : (i + 1) * chunk_bits] @ weights)
+                int(
+                    pos[offsets[i] : offsets[i] + widths[i]]
+                    @ (1 << np.arange(widths[i], dtype=np.int64))
+                )
                 for i in range(n_chunks)
             ]
             return {"sh": sh, "chunks": cvs}
@@ -301,13 +319,18 @@ def simhash_pairs(
     hashed = df.select(
         F.col(id_col).alias("id"), sim_udf(F.col(col)).alias("s")
     ).select("id", F.col("s.sh").alias("sh"), F.col("s.chunks").alias("chunks")).cache()
-    chunks = hashed.select(
-        "id", "sh", F.posexplode("chunks").alias("ci", "cv")
-    )
-    a = chunks.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "ci", "cv")
-    b = chunks.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "ci", "cv")
+    # combo key: chunk i's value shifted past chunk j's width — a single
+    # long, uniform across 2^(w_i + w_j) values
+    combos = [
+        F.col("chunks")[i] * F.lit(1 << widths[j]) + F.col("chunks")[j]
+        for i in range(n_chunks)
+        for j in range(i + 1, n_chunks)
+    ]
+    keyed = hashed.select("id", "sh", F.posexplode(F.array(*combos)).alias("ck", "cv"))
+    a = keyed.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "ck", "cv")
+    b = keyed.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "ck", "cv")
     return (
-        a.join(b, ["ci", "cv"])
+        a.join(b, ["ck", "cv"])
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "a_sh", "b_sh")
         .distinct()

@@ -99,6 +99,84 @@ def test_simhash_self_dup(spark):
     assert (1, 3) not in found and (2, 3) not in found
 
 
+def _simhash_fingerprint(text):
+    """Reference 64-bit SimHash (unsigned), mirroring ops.dedup.simhash_pairs."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    toks = [t for t in re.split(r"\W+", (text or "").lower()) if t]
+    if toks:
+        hv = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[8:] for t in toks),
+            dtype=np.uint8,
+        ).reshape(len(toks), 8)
+        bits = np.unpackbits(hv, axis=1, bitorder="little").astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+    else:
+        acc = np.full(64, -1, dtype=np.int64)
+    pos = (acc > 0).astype(np.uint64)
+    return int((pos << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def test_simhash_two_chunk_blocking_is_lossless(spark, documents):
+    """The two-chunk pigeonhole must find EVERY pair with hamming <= h —
+    cross-checked against an all-pairs brute force on real docs."""
+    sample = documents.limit(80).cache()
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in dedup.simhash_pairs(sample, "text", max_hamming=6).collect()
+    }
+    rows = sample.select("doc_id", "text").collect()
+    fps = {r["doc_id"]: _simhash_fingerprint(r["text"]) for r in rows}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want
+
+
+def test_simhash_two_chunk_bucket_space_beats_single_chunk():
+    """Scale property: max bucket occupancy under the two-chunk combo keys
+    is far below the old single-chunk (64/(h+1))-bit scheme. At h=6 the
+    old scheme has 512 buckets per chunk index — random fingerprints pile
+    ~N/512 docs into each; 16-bit combo keys spread the same docs ~128x
+    thinner."""
+    from collections import Counter
+
+    import numpy as np
+
+    from phphinder_spark.ops.dedup import simhash_chunk_widths
+
+    rng = np.random.RandomState(7)
+    fps = rng.randint(0, 2**64, size=20000, dtype=np.uint64)
+
+    # old: 7 chunks x 9 bits (bits 0..62)
+    old = Counter()
+    for ci in range(7):
+        vals = (fps >> np.uint64(ci * 9)) & np.uint64(0x1FF)
+        for v, c in zip(*np.unique(vals, return_counts=True)):
+            old[(ci, int(v))] += int(c)
+
+    widths = simhash_chunk_widths(6)
+    assert widths == [8] * 8 and sum(widths) == 64
+    chunks = [(fps >> np.uint64(i * 8)) & np.uint64(0xFF) for i in range(8)]
+    new = Counter()
+    for i in range(8):
+        for j in range(i + 1, 8):
+            vals = chunks[i] * np.uint64(256) + chunks[j]
+            for v, c in zip(*np.unique(vals, return_counts=True)):
+                new[(i, j, int(v))] += int(c)
+
+    # old: ~20000/512 ≈ 39 docs per bucket; new: expected 20000/65536 < 1
+    assert max(old.values()) > 25
+    assert max(new.values()) <= 5
+
+
 def test_embedding_dup_pairs(embeddings):
     out = dedup.embedding_dup_pairs(embeddings, threshold=0.99)
     for r in out.limit(5).collect():
