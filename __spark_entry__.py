@@ -280,9 +280,19 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir))
 
 
+_MEDIA_FIXTURE = "/root/repo/tests/fixtures/media_64.parquet"
+
+
 def _q_multimodal(spark, sf_dir):
-    media = multimodal.synthetic_media(spark, 64)
-    return multimodal.extract_features(media, fake=True).select(
+    """Binary-payload feature extraction through the real mapInPandas path.
+
+    Reads the committed deterministic media fixture (same rows as
+    ``synthetic_media(spark, 64)`` — scripts/make_media_fixture.py) so the
+    DuckDB oracle can read the exact same payload BLOBs: octet_length is
+    computed live by DuckDB; the sha256 golden column was precomputed by
+    the fixture writer, so Spark's digest of the raw bytes must match."""
+    media = spark.read.parquet(_MEDIA_FIXTURE).drop("sha256_expected")
+    return multimodal.extract_features(media).select(
         "media_id", "kind", "n_bytes", "sha256"
     )
 
@@ -665,6 +675,12 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
             "FROM documents GROUP BY lang"
         ),
         "corpus_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
-        # multimodal_features: binary-payload-backed — rows-only check
-        # (no SQL oracle).
+        # binary payloads: octet_length computed live by DuckDB over the
+        # same committed BLOBs Spark reads; sha256_expected is the golden
+        # digest column (DuckDB 1.0 lacks sha256(BLOB)) — Spark recomputes
+        # it from raw bytes inside mapInPandas
+        "multimodal_features": (
+            "SELECT media_id, kind, octet_length(payload) AS n_bytes, "
+            f"sha256_expected AS sha256 FROM read_parquet('{_MEDIA_FIXTURE}')"
+        ),
     }

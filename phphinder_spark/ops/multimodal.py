@@ -265,10 +265,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table with REAL payloads: 8x8 BMP images and
+def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic media rows with REAL payloads: 8x8 BMP images and
     0.1s 16kHz WAV tones (seed-derived pixels/frequencies); video rows
-    keep opaque bytes (container decode is stubbed)."""
+    keep opaque bytes (container decode is stubbed). Shared by the Spark
+    generator and the committed parquet fixture writer
+    (scripts/make_media_fixture.py) so the DuckDB oracle sees the exact
+    same payload bytes."""
     rows = []
     for i in range(n):
         digest = hashlib.sha256(f"{seed}:{i}".encode()).digest()
@@ -300,4 +303,9 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 dur,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table (see ``synthetic_media_rows``)."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), MEDIA_SCHEMA)
