@@ -43,6 +43,12 @@ from phphinder_spark.scoring import bm25_topk, reference_score
 
 _MATCH_SCHEMA = "doc_id long, qvalue string, field string, seq long"
 
+# typo_strategy='auto' crossover: below this many dictionary terms the
+# length-banded full-dictionary Levenshtein scan beats the bigram probe
+# (measured: 30k terms -> scan 2.1 s vs ngram 3.0 s at sf0.1; the probe's
+# extra join job dominates until the linear scan term catches up)
+_TYPO_AUTO_DICT_THRESHOLD = 150_000
+
 
 @dataclass
 class Result:
@@ -79,16 +85,17 @@ class SparkSearchEngine:
         self,
         spark: SparkSession,
         schema: SearchSchema,
-        typo_strategy: str = "ngram",
+        typo_strategy: str = "auto",
         storage=None,
     ):
         from phphinder_spark.index.storage import MemoryStorage
 
         self.spark = spark
         self.schema = schema
-        if typo_strategy not in ("ngram", "scan"):
+        if typo_strategy not in ("auto", "ngram", "scan"):
             raise ValueError(
-                f"typo_strategy must be 'ngram' or 'scan', got {typo_strategy!r}"
+                "typo_strategy must be 'auto', 'ngram' or 'scan', "
+                f"got {typo_strategy!r}"
             )
         self.typo_strategy = typo_strategy
         # transactional owner of (docs, postings) — MERGE-commit seam
@@ -100,6 +107,7 @@ class SparkSearchEngine:
         self._buffer: list[dict] = []
         self._source_df: DataFrame | None = None
         self._max_id = 0
+        self._dict_size = -1  # lazy |dictionary| for typo_strategy='auto'
         if not self.storage.is_empty:
             self.index = InvertedIndex(
                 self.schema, self.storage.docs(), self.storage.postings()
@@ -206,6 +214,7 @@ class SparkSearchEngine:
         self.index = InvertedIndex(
             self.schema, self.storage.docs(), self.storage.postings()
         ).cache()
+        self._dict_size = -1
 
     def truncate(self) -> None:
         """Drop the index (reference Storage::truncate,
@@ -219,6 +228,7 @@ class SparkSearchEngine:
         self.index = None
         self._buffer = []
         self._max_id = 0
+        self._dict_size = -1
 
     def index_dataframe(self, df: DataFrame) -> None:
         """Bulk build (the scale path). ``df`` must carry ``doc_id``.
@@ -238,6 +248,7 @@ class SparkSearchEngine:
         self._source_df = df.cache()
         self.index = build_index(self._source_df, self.schema).cache()
         self._max_id = -1
+        self._dict_size = -1
 
     def _ensure_max_id(self) -> None:
         if self._max_id < 0 and self.index is not None:
@@ -348,17 +359,34 @@ class SparkSearchEngine:
         """Same final semantics as the reference's state-set automaton +
         refilter (src/Index/AbstractStorage.php:182-205, SURVEY.md Q5).
 
-        Default = the scale path: bigram posting index over dictionary
-        terms (provably lossless for the reference's d=1/len>=5, d=2/len>=9
-        thresholds — index/typo_ngram.py), probed by the query's grams,
-        then length band + exact Levenshtein verify. O(matching grams)
-        instead of O(|dictionary|) per query. ``typo_strategy='scan'``
-        keeps the full-dictionary scan for equivalence testing."""
+        Two physical strategies with identical output (equivalence-tested,
+        tests/test_typo_ngram.py):
+
+        - ``'ngram'`` — the scale path: bigram posting index over
+          dictionary terms (provably lossless for the reference's d=1/
+          len>=5, d=2/len>=9 thresholds — index/typo_ngram.py), probed by
+          the query's grams, then length band + exact Levenshtein verify.
+          O(matching grams) instead of O(|dictionary|) per query.
+        - ``'scan'`` — length-banded Levenshtein over the whole dictionary:
+          one cheap scan, no gram-probe join. Faster while the dictionary
+          is small (measured at sf0.1's 30k-term dictionary: scan 2.1 s vs
+          ngram 3.0 s — the probe join's extra job dominates).
+        - ``'auto'`` (default) picks by dictionary size: the scan's cost
+          grows linearly with |dict| while the probe stays O(grams), so
+          above ``_TYPO_AUTO_DICT_THRESHOLD`` terms the ngram index wins.
+        """
         d = levenshtein_distance_for_term(t)
         empty = self.spark.createDataFrame([], "doc_id long, field string")
         if d == 0:
             return empty
-        if self.typo_strategy == "ngram":
+        strategy = self.typo_strategy
+        if strategy == "auto":
+            if self._dict_size < 0:
+                self._dict_size = self.index.dict_df.count()
+            strategy = (
+                "ngram" if self._dict_size >= _TYPO_AUTO_DICT_THRESHOLD else "scan"
+            )
+        if strategy == "ngram":
             from phphinder_spark.index.typo_ngram import typo_candidate_terms
 
             cand = typo_candidate_terms(self.index.ngram_df, t, fields)

@@ -45,3 +45,30 @@ def test_short_term_returns_empty(spark, dict_and_index):
     _, ngram_idx = dict_and_index
     # threshold 0 for len < 5 (reference TypoTolerance)
     assert typo_candidate_terms(ngram_idx, "cat", ["content"]).count() == 0
+
+
+def test_auto_strategy_picks_scan_on_small_dict_same_results(spark):
+    """'auto' must resolve to the dictionary scan below the threshold and
+    return exactly the ngram strategy's results either way."""
+    from phphinder_spark.engine import _TYPO_AUTO_DICT_THRESHOLD, SparkSearchEngine
+    from phphinder_spark.schema import IS_FULLTEXT, IS_INDEXED, IS_STORED, SearchSchema
+    from phphinder_spark.analysis import Analyzer
+
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+        analyzer=Analyzer.lowercase_only("en"),
+        name="t",
+    )
+    rows = [(i, f"sample spark vector document number{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    results = {}
+    for strat in ("auto", "ngram", "scan"):
+        eng = SparkSearchEngine(spark, schema, typo_strategy=strat)
+        eng.index_dataframe(df)
+        results[strat] = sorted(
+            r["doc_id"] for r in eng.search_df("sparq").collect()
+        )
+        if strat == "auto":
+            assert 0 <= eng._dict_size < _TYPO_AUTO_DICT_THRESHOLD
+    assert results["auto"] == results["scan"] == results["ngram"]
+    assert results["auto"]  # typo fallback actually matched something
