@@ -138,6 +138,18 @@ class Analyzer:
         """Lowercase without stopwords/stemming — SQL-oracle-friendly chain."""
         return Analyzer(transformers=[LowerCaseTransformer(lang_iso)])
 
+    def positional_faithful(self) -> bool:
+        """True when index terms are the original tokens lowercased with
+        nothing dropped — the precondition for using the MAIN positional
+        index as a fulltext/phrase prefilter (stemming breaks suffix
+        matching; stopword/None drops break position alignment). Chains
+        that fail this get a lowercase SHADOW positional field instead
+        (index/builder.shadow_fields)."""
+        return type(self.tokenizer) is RegexTokenizer and all(
+            type(t) is LowerCaseTransformer and not t.filters
+            for t in self.transformers
+        )
+
     def transform(self, term: object) -> object | None:
         if not isinstance(term, str):
             return term

@@ -108,6 +108,7 @@ class SparkSearchEngine:
         self._source_df: DataFrame | None = None
         self._max_id = 0
         self._dict_size = -1  # lazy |dictionary| for typo_strategy='auto'
+        self._shadow_ok: dict[str, bool] = {}  # <field>#raw presence probes
         if not self.storage.is_empty:
             self.index = InvertedIndex(
                 self.schema, self.storage.docs(), self.storage.postings()
@@ -215,6 +216,7 @@ class SparkSearchEngine:
             self.schema, self.storage.docs(), self.storage.postings()
         ).cache()
         self._dict_size = -1
+        self._shadow_ok = {}
 
     def truncate(self) -> None:
         """Drop the index (reference Storage::truncate,
@@ -229,6 +231,7 @@ class SparkSearchEngine:
         self._buffer = []
         self._max_id = 0
         self._dict_size = -1
+        self._shadow_ok = {}
 
     def index_dataframe(self, df: DataFrame) -> None:
         """Bulk build (the scale path). ``df`` must carry ``doc_id``.
@@ -249,6 +252,7 @@ class SparkSearchEngine:
         self.index = build_index(self._source_df, self.schema).cache()
         self._max_id = -1
         self._dict_size = -1
+        self._shadow_ok = {}
 
     def _ensure_max_id(self) -> None:
         if self._max_id < 0 and self.index is not None:
@@ -424,20 +428,26 @@ class SparkSearchEngine:
         return self._attach(matches, rows, q.value, base_seq)
 
     def _positional_faithful(self) -> bool:
-        """True when index terms are the original tokens lowercased with
-        nothing dropped — the precondition for the index-side fulltext
-        prefilter (stemming breaks suffix matching; stopword/None drops
-        break position alignment)."""
-        from phphinder_spark.analysis.analyzers import (
-            LowerCaseTransformer,
-            RegexTokenizer,
-        )
+        """True when the MAIN positional index can serve as the fulltext
+        prefilter directly (analysis/analyzers.Analyzer.positional_faithful);
+        other chains prefilter on the ``<field>#raw`` shadow field."""
+        return self.schema.analyzer.positional_faithful()
 
-        a = self.schema.analyzer
-        return type(a.tokenizer) is RegexTokenizer and all(
-            type(t) is LowerCaseTransformer and not t.filters
-            for t in a.transformers
-        )
+    def _shadow_available(self, field: str) -> bool:
+        """Does the loaded index carry ``<field>#raw`` shadow postings?
+        Persisted indexes built before the shadow existed don't — those
+        fall back to the stored-corpus scan. One probe job per (engine,
+        field), cached; invalidated with the index."""
+        if field not in self._shadow_ok:
+            from phphinder_spark.index.builder import SHADOW_SUFFIX
+
+            self._shadow_ok[field] = (
+                self.index.postings.where(F.col("field") == field + SHADOW_SUFFIX)
+                .limit(1)
+                .count()
+                > 0
+            )
+        return self._shadow_ok[field]
 
     def _leaf_fulltext(self, q: FullTextQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
         if q.field == ANY_FIELD:
@@ -450,27 +460,48 @@ class SparkSearchEngine:
             fields = [f for f in [q.field] if f in self.schema.fields]
         base_seq = ctx.next()
         docs = self.index.docs
+        faithful = self._positional_faithful()
         analyzed = (
             [(str(t), p) for t, p in self.schema.analyzer.analyze(q.value)]
-            if self._positional_faithful()
+            if faithful
             else []
         )
+        raw_analyzed: list[tuple[str, int]] | None = None
         parts = []
         for f in fields:
             if f not in docs.columns:
                 continue
-            if (
-                analyzed
-                and f in self.schema.indexed_fields
-                and not self.schema.is_unique(f)
-            ):
-                # scale path: positional-index candidates (superset of
-                # substring matches, see index/phrase.fulltext_candidates)
-                # + case-sensitive contains verify on the candidates ONLY —
-                # never a full stored-corpus substring scan
+            prefilterable = (
+                f in self.schema.indexed_fields and not self.schema.is_unique(f)
+            )
+            cands = None
+            if prefilterable:
+                from phphinder_spark.index.builder import SHADOW_SUFFIX
                 from phphinder_spark.index.phrase import fulltext_candidates
 
-                cands = fulltext_candidates(self.index.postings, analyzed, f)
+                if analyzed:
+                    # scale path: positional-index candidates (superset of
+                    # substring matches, see index/phrase.fulltext_candidates)
+                    cands = fulltext_candidates(self.index.postings, analyzed, f)
+                elif not faithful and self._shadow_available(f):
+                    # stemmed/stopword chains: prefilter on the lowercase
+                    # drop-free SHADOW field — candidates from lowercase
+                    # alignment are a superset of the case-sensitive
+                    # substring matches (builder.shadow_fields)
+                    if raw_analyzed is None:
+                        from phphinder_spark.analysis import Analyzer
+
+                        raw_analyzed = [
+                            (str(t), p)
+                            for t, p in Analyzer.lowercase_only().analyze(q.value)
+                        ]
+                    if raw_analyzed:
+                        cands = fulltext_candidates(
+                            self.index.postings, raw_analyzed, f + SHADOW_SUFFIX
+                        )
+            if cands is not None:
+                # + case-sensitive contains verify on the candidates ONLY —
+                # never a full stored-corpus substring scan
                 parts.append(
                     cands.join(docs.select("doc_id", f), "doc_id")
                     .where(F.col(f).contains(q.value))

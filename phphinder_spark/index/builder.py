@@ -86,11 +86,41 @@ def _analyze_udf(analyzer: Analyzer, unique: bool):
     return F.pandas_udf(analyze_batch, _ANALYZED_TYPE)
 
 
+SHADOW_SUFFIX = "#raw"
+
+
+def shadow_fields(schema: SearchSchema) -> list[str]:
+    """Fields that get a lowercase drop-free SHADOW positional index
+    (labelled ``<field>#raw``) alongside the analyzed terms.
+
+    Built only when the main analyzer is NOT positional-faithful
+    (stemming/stopword chains): phrase/fulltext queries then prefilter on
+    the shadow field — the substring-superset proof of
+    ``index/phrase.fulltext_candidates`` holds in lowercase space
+    (case-sensitive contains ⊆ lowercase contains), so the stored-corpus
+    substring scan is avoided for every analyzer chain, including the
+    reference's own stemmed Alice chain. Cost: up to 2x posting rows for
+    the shadowed fields — the standard shadow-field tradeoff; faithful
+    chains pay nothing."""
+    if schema.analyzer.positional_faithful():
+        return []
+    return [
+        f
+        for f in schema.indexed_fields
+        if not schema.is_unique(f) and schema.is_stored(f)
+    ]
+
+
 def tokenize_field(
-    df: DataFrame, field: str, analyzer: Analyzer, unique: bool = False
+    df: DataFrame,
+    field: str,
+    analyzer: Analyzer,
+    unique: bool = False,
+    label: str | None = None,
 ) -> DataFrame:
     """(doc_id, <field>) -> exploded (doc_id, field, term, pos)."""
     col = df[field]
+    label = label or field
     if dict(df.dtypes).get(field) not in ("string",):
         # non-strings pass through as one whole token (reference:
         # src/Token/RegexTokenizer.php:21-23)
@@ -98,7 +128,7 @@ def tokenize_field(
             df.where(F.col(field).isNotNull())
             .select(
                 "doc_id",
-                F.lit(field).alias("field"),
+                F.lit(label).alias("field"),
                 col.cast("string").alias("term"),
                 F.lit(0).alias("pos"),
             )
@@ -109,7 +139,7 @@ def tokenize_field(
         .select("doc_id", F.explode("toks").alias("tk"))
         .select(
             "doc_id",
-            F.lit(field).alias("field"),
+            F.lit(label).alias("field"),
             F.col("tk.term").alias("term"),
             F.col("tk.pos").alias("pos"),
         )
@@ -117,12 +147,23 @@ def tokenize_field(
 
 
 def build_postings(df: DataFrame, schema: SearchSchema) -> DataFrame:
-    """All indexed fields -> (field, term, doc_id, tf, positions)."""
+    """All indexed fields -> (field, term, doc_id, tf, positions).
+
+    Non-positional-faithful analyzers also emit ``<field>#raw`` shadow
+    rows (lowercase drop-free) for the phrase prefilter — see
+    ``shadow_fields``."""
     parts = []
     for field in schema.indexed_fields:
         if field not in df.columns:
             continue
         parts.append(tokenize_field(df, field, schema.analyzer, schema.is_unique(field)))
+    raw_analyzer = Analyzer.lowercase_only()
+    for field in shadow_fields(schema):
+        if field not in df.columns or dict(df.dtypes).get(field) != "string":
+            continue
+        parts.append(
+            tokenize_field(df, field, raw_analyzer, label=field + SHADOW_SUFFIX)
+        )
     if not parts:
         spark = df.sparkSession
         return spark.createDataFrame(
@@ -174,7 +215,11 @@ class InvertedIndex:
     @property
     def dict_df(self) -> DataFrame:
         if self._dict is None:
-            self._dict = dictionary(self.postings).cache()
+            # shadow (<field>#raw) rows are a phrase-prefilter internal:
+            # they must not surface as typo/prefix dictionary terms
+            self._dict = dictionary(
+                self.postings.where(~F.col("field").endswith(SHADOW_SUFFIX))
+            ).cache()
         return self._dict
 
     @property

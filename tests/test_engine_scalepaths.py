@@ -92,9 +92,8 @@ def test_fulltext_uses_prefilter_not_corpus_scan(eng):
     assert "Join" in plan
 
 
-def test_stemmed_analyzer_falls_back_to_scan(spark):
-    """Non-positional-faithful analyzers (stemming/stopwords) must keep the
-    exact reference scan semantics."""
+@pytest.fixture()
+def stemmed_engine(spark):
     schema = SearchSchema(
         {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
         analyzer=Analyzer.default("en"),
@@ -102,12 +101,67 @@ def test_stemmed_analyzer_falls_back_to_scan(spark):
     e = SparkSearchEngine(spark, schema)
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     e.index_dataframe(df)
+    return e
+
+
+STEM_PHRASES = ["spark table", "park tab", "ark", "Spark Table", "spark, table",
+                "the spark"]  # 'the' is a stopword: dropped from main terms
+
+
+@pytest.mark.parametrize("phrase", STEM_PHRASES)
+def test_stemmed_analyzer_uses_shadow_prefilter(spark, stemmed_engine, phrase, monkeypatch):
+    """Stemming/stopword chains must route phrase queries through the
+    lowercase SHADOW positional field (never a stored-corpus substring
+    scan) and return exactly the reference scan semantics."""
+    import phphinder_spark.index.phrase as phrase_mod
+    from phphinder_spark.index.builder import SHADOW_SUFFIX
+
+    e = stemmed_engine
+    seen_fields = []
+    orig = phrase_mod.fulltext_candidates
+
+    def spy(postings, analyzed, field):
+        seen_fields.append(field)
+        return orig(postings, analyzed, field)
+
+    monkeypatch.setattr(phrase_mod, "fulltext_candidates", spy)
+    got = {r.doc_id for r in e.search(f'"{phrase}"')}
+    # parser sanitizes the quoted phrase; compare against the scan ON the
+    # same parsed value by forcing the fallback path
+    monkeypatch.setattr(
+        type(e), "_shadow_available", lambda self, f: False
+    )
+    expect = {r.doc_id for r in e.search(f'"{phrase}"')}
+    assert got == expect, phrase
+    assert seen_fields and all(f.endswith(SHADOW_SUFFIX) for f in seen_fields)
+
+
+def test_stemmed_engine_without_shadow_falls_back_to_scan(spark, stemmed_engine, monkeypatch):
+    """Indexes persisted before the shadow field existed must keep exact
+    scan semantics (availability probe returns False)."""
+    e = stemmed_engine
+    monkeypatch.setattr(type(e), "_shadow_available", lambda self, f: False)
     got = {r.doc_id for r in e.search('"spark table"')}
     expect = {
         r["doc_id"]
         for r in e.index.docs.where(F.col("text").contains("spark table")).collect()
     }
     assert got == expect
+
+
+def test_shadow_terms_do_not_leak_into_typo_or_prefix(spark, stemmed_engine):
+    """Shadow (#raw) rows are a phrase-prefilter internal: the dictionary
+    (typo candidates) must only contain real analyzed terms, and prefix/
+    term queries must not match shadow fields."""
+    from phphinder_spark.index.builder import SHADOW_SUFFIX
+
+    e = stemmed_engine
+    dict_fields = {r["field"] for r in e.index.dict_df.select("field").distinct().collect()}
+    assert all(not f.endswith(SHADOW_SUFFIX) for f in dict_fields)
+    # 'tables' stems to 'tabl': the raw token 'tables' exists ONLY in the
+    # shadow field, so a prefix query on 'tables' must not match via shadow
+    for r in e.search("tables*"):
+        assert "text" + SHADOW_SUFFIX not in r.indices
 
 
 @pytest.mark.parametrize("term", ["sparq", "tabel", "joib", "xx"])
