@@ -109,6 +109,12 @@ class SparkSearchEngine:
         self._max_id = 0
         self._dict_size = -1  # lazy |dictionary| for typo_strategy='auto'
         self._shadow_ok: dict[str, bool] = {}  # <field>#raw presence probes
+        # cold-serving mode (from_index_dir(serve="segments")): postings
+        # access goes through the compressed segment store with (field,
+        # term) predicates applied to SEGMENT rows before payload decode
+        self._serve = "postings"
+        self._segments_df: DataFrame | None = None
+        self._index_dir: str | None = None
         if not self.storage.is_empty:
             self.index = InvertedIndex(
                 self.schema, self.storage.docs(), self.storage.postings()
@@ -288,26 +294,108 @@ class SparkSearchEngine:
         stats = self.index.stats()
         from phphinder_spark.scoring import bm25_topk_batch
 
+        post_src = self.index.postings
+        if self._serve == "segments":
+            # decode only the union of the batch's query terms' segments;
+            # their df values are unchanged by this prefilter
+            all_terms = sorted({t for ts in qmap.values() for t in ts})
+            post_src = self._postings_where(
+                (F.col("field") == field) & F.col("term").isin(all_terms)
+            )
         return bm25_topk_batch(
-            self.index.postings, self.index.doclens, qmap, field,
+            post_src, self.index.doclens, qmap, field,
             stats["n_docs"], stats["avgdl"].get(field, 1.0), k, k1, b,
         )
 
     @classmethod
     def from_index_dir(
-        cls, spark: SparkSession, out_dir: str, schema: SearchSchema
+        cls,
+        spark: SparkSession,
+        out_dir: str,
+        schema: SearchSchema,
+        serve: str = "postings",
     ) -> "SparkSearchEngine":
         """Serve from a persisted index built by
-        ``index.manifest.build_resumable_index``: docs + chunked postings
-        parquet (term/field predicates push into the scans; the compressed
-        segment store stays available for point lookups via
-        ``index.segments.read_term_postings``)."""
+        ``index.manifest.build_resumable_index``.
+
+        ``serve='postings'``: reads the uncompressed postings parquet
+        (term/field predicates push into the scans) — the warm path when
+        the chunked postings are still around.
+
+        ``serve='segments'``: the cold 100-TB path — ONLY the compressed
+        segment store + persisted doclens/dictionary/stats/ngram artifacts
+        are read; the uncompressed ``postings/`` directory may be deleted.
+        Every postings access routes through ``_postings_where`` /
+        ``_postings_for_terms``, which filter SEGMENT rows (field/term
+        columns, parquet-pushdown on the sorted store) before decoding any
+        payload; BM25 top-k delegates to the segment-store scorers
+        (index/segments.segment_bm25_topk / _blockmax); the typo n-gram
+        index loads from the manifest's ``ngram/`` instead of rebuilding
+        per session."""
+        import os
+
+        if serve not in ("postings", "segments"):
+            raise ValueError(f"serve must be 'postings' or 'segments', got {serve!r}")
         eng = cls(spark, schema)
         docs = spark.read.parquet(f"{out_dir}/docs")
-        postings = spark.read.parquet(f"{out_dir}/postings")
-        eng.index = InvertedIndex(schema, docs, postings)
+        if serve == "postings":
+            postings = spark.read.parquet(f"{out_dir}/postings")
+            eng.index = InvertedIndex(schema, docs, postings)
+            eng._max_id = -1
+            return eng
+
+        from phphinder_spark.index.builder import SHADOW_SUFFIX
+        from phphinder_spark.index.segments import decode_segments
+
+        segments = spark.read.parquet(f"{out_dir}/segments")
+        # full-decode view: ONLY the correctness fallback for access paths
+        # not routed through the segment helpers (none in the query engine;
+        # kept so index.postings stays a valid DataFrame)
+        idx = InvertedIndex(schema, docs, decode_segments(segments))
+        idx.doclens = spark.read.parquet(f"{out_dir}/doclens")
+        idx._dict = (
+            spark.read.parquet(f"{out_dir}/dictionary")
+            .where(~F.col("field").endswith(SHADOW_SUFFIX))
+            .select("field", "term", "df")
+            .cache()
+        )
+        ngram_path = f"{out_dir}/ngram"
+        if os.path.exists(ngram_path):
+            idx._ngram = spark.read.parquet(ngram_path).cache()
+        with open(f"{out_dir}/stats.json") as fh:
+            st = json.load(fh)
+        idx._stats = {"n_docs": st["n_docs"], "avgdl": st["avgdl"]}
+        eng.index = idx
+        eng._serve = "segments"
+        eng._segments_df = segments
+        eng._index_dir = out_dir
         eng._max_id = -1
         return eng
+
+    # ----------------------------------------------------- postings access
+
+    def _postings_where(self, cond: F.Column) -> DataFrame:
+        """Postings rows matching ``cond``. ``cond`` must reference only
+        the (field, term) columns so that in segment-serving mode it can
+        be evaluated on SEGMENT rows — pushed into the sorted parquet scan
+        — before any payload is decoded."""
+        if self._serve == "segments":
+            from phphinder_spark.index.segments import decode_segments
+
+            return decode_segments(self._segments_df.where(cond))
+        return self.index.postings.where(cond)
+
+    def _postings_for_terms(self, cand: DataFrame) -> DataFrame:
+        """Postings for a bounded (field, term) candidate frame — the
+        candidates broadcast-join against segment rows (decode only
+        matching payloads) or against the in-memory postings."""
+        if self._serve == "segments":
+            from phphinder_spark.index.segments import decode_segments
+
+            return decode_segments(
+                self._segments_df.join(F.broadcast(cand), ["field", "term"])
+            )
+        return self.index.postings.join(F.broadcast(cand), ["field", "term"])
 
     # ------------------------------------------------------------------ read
 
@@ -342,15 +430,14 @@ class SparkSearchEngine:
         if t is None:
             return matches
         t = str(t)
-        post = self.index.postings
         if q.field == ANY_FIELD:
             fields = [f for f in self.schema.indexed_fields if not self.schema.is_unique(f)]
         else:
             fields = [q.field]
         base_seq = ctx.next()
-        exact = post.where((F.col("term") == t) & F.col("field").isin(fields)).select(
-            "doc_id", "field"
-        )
+        exact = self._postings_where(
+            (F.col("term") == t) & F.col("field").isin(fields)
+        ).select("doc_id", "field")
         if ctx.term_hits is not None:
             has_exact = any(ctx.term_hits.get((t, f), False) for f in fields)
         else:
@@ -402,7 +489,7 @@ class SparkSearchEngine:
                 .select("field", "term")
             )
         return (
-            self.index.postings.join(F.broadcast(cand), ["field", "term"])
+            self._postings_for_terms(cand)
             .select("doc_id", "field")
             .distinct()
         )
@@ -419,7 +506,7 @@ class SparkSearchEngine:
         )
         base_seq = ctx.next()
         rows = (
-            self.index.postings.where(
+            self._postings_where(
                 F.col("term").startswith(p) & F.col("field").isin(fields)
             )
             .select("doc_id", "field")
@@ -441,13 +528,36 @@ class SparkSearchEngine:
         if field not in self._shadow_ok:
             from phphinder_spark.index.builder import SHADOW_SUFFIX
 
+            src = (
+                self._segments_df
+                if self._serve == "segments"
+                else self.index.postings
+            )
             self._shadow_ok[field] = (
-                self.index.postings.where(F.col("field") == field + SHADOW_SUFFIX)
+                src.where(F.col("field") == field + SHADOW_SUFFIX)
                 .limit(1)
                 .count()
                 > 0
             )
         return self._shadow_ok[field]
+
+    def _phrase_postings_src(self, analyzed: list[tuple[str, int]], label: str) -> DataFrame:
+        """Postings source for the fulltext prefilter, pre-filtered to the
+        phrase's slot term conditions (first: suffix, last: prefix,
+        middles: equality; single token: containment) so segment-serving
+        decodes only matching terms' payloads. ``fulltext_candidates``
+        re-applies the per-slot conditions on this superset."""
+        n = len(analyzed)
+        if n == 1:
+            cond = F.col("term").contains(analyzed[0][0])
+        else:
+            cond = F.col("term").endswith(analyzed[0][0]) | F.col(
+                "term"
+            ).startswith(analyzed[-1][0])
+            mids = [t for t, _ in analyzed[1:-1]]
+            if mids:
+                cond = cond | F.col("term").isin(mids)
+        return self._postings_where((F.col("field") == label) & cond)
 
     def _leaf_fulltext(self, q: FullTextQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
         if q.field == ANY_FIELD:
@@ -482,7 +592,9 @@ class SparkSearchEngine:
                 if analyzed:
                     # scale path: positional-index candidates (superset of
                     # substring matches, see index/phrase.fulltext_candidates)
-                    cands = fulltext_candidates(self.index.postings, analyzed, f)
+                    cands = fulltext_candidates(
+                        self._phrase_postings_src(analyzed, f), analyzed, f
+                    )
                 elif not faithful and self._shadow_available(f):
                     # stemmed/stopword chains: prefilter on the lowercase
                     # drop-free SHADOW field — candidates from lowercase
@@ -497,7 +609,11 @@ class SparkSearchEngine:
                         ]
                     if raw_analyzed:
                         cands = fulltext_candidates(
-                            self.index.postings, raw_analyzed, f + SHADOW_SUFFIX
+                            self._phrase_postings_src(
+                                raw_analyzed, f + SHADOW_SUFFIX
+                            ),
+                            raw_analyzed,
+                            f + SHADOW_SUFFIX,
                         )
             if cands is not None:
                 # + case-sensitive contains verify on the candidates ONLY —
@@ -674,8 +790,12 @@ class SparkSearchEngine:
         walk(query)
         if not terms:
             return {}
+        # probe the DICTIONARY, not the postings: (term, field) existence is
+        # the same question, the dictionary is orders of magnitude smaller,
+        # and in segment-serving mode it's a persisted artifact (probing
+        # postings there would decode payloads)
         rows = (
-            self.index.postings.where(F.col("term").isin(list(terms)))
+            self.index.dict_df.where(F.col("term").isin(list(terms)))
             .select("term", "field")
             .distinct()
             .collect()
@@ -747,6 +867,24 @@ class SparkSearchEngine:
             field = candidates[0]
         stats = self.index.stats()
         avgdl = stats["avgdl"].get(field, 1.0)
+        if self._serve == "segments":
+            # cold path: score straight off the compressed store — chunked
+            # payload decode bounded to the query terms (blockmax: to the
+            # surviving chunks), persisted dictionary df, no uncompressed
+            # postings read
+            from phphinder_spark.index.segments import (
+                segment_bm25_topk,
+                segment_bm25_topk_blockmax,
+            )
+
+            if strategy == "blockmax":
+                topk, _metrics = segment_bm25_topk_blockmax(
+                    self.spark, self._index_dir, terms, field, k, k1, b
+                )
+                return topk
+            return segment_bm25_topk(
+                self.spark, self._index_dir, terms, field, k, k1, b
+            )
         if strategy == "blockmax":
             from phphinder_spark.scoring import bm25_topk_blockmax
 

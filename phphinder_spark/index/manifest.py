@@ -16,6 +16,7 @@ Layout under ``out_dir``:
     postings/chunk=<i>/   per-chunk postings parquet
     segments/             compressed segment store (encode_segments)
     dictionary/           global (field, term, df, cf, ...) parquet
+    ngram/                bigram typo index over dictionary terms
     stats.json            corpus-level stats (n_docs, avgdl per field)
     manifest.json         lineage + per-chunk metrics
 """
@@ -146,6 +147,19 @@ def build_resumable_index(
     segments_df = spark.read.parquet(os.path.join(out_dir, "segments"))
     merge_segment_dictionaries(segments_df).write.mode("overwrite").parquet(
         os.path.join(out_dir, "dictionary")
+    )
+    # persist the bigram typo index with the manifest layout so serving
+    # sessions load it instead of rebuilding per session (engine
+    # from_index_dir(serve="segments")); shadow (#raw) phrase-prefilter
+    # rows are not dictionary terms
+    from phphinder_spark.index.builder import SHADOW_SUFFIX
+    from phphinder_spark.index.typo_ngram import build_ngram_index
+
+    dict_df = spark.read.parquet(os.path.join(out_dir, "dictionary")).where(
+        ~F.col("field").endswith(SHADOW_SUFFIX)
+    )
+    build_ngram_index(dict_df).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "ngram")
     )
     doclens = postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
     doclens.write.mode("overwrite").parquet(os.path.join(out_dir, "doclens"))
