@@ -97,9 +97,21 @@ class StemmerTransformer(_Filtered):
             from phphinder_spark.analysis.snowball_fr import stem as stem_fr
 
             self._stem = stem_fr
+        elif lang_iso == "pt":
+            from phphinder_spark.analysis.snowball_pt import stem as stem_pt
+
+            self._stem = stem_pt
+        elif lang_iso == "it":
+            from phphinder_spark.analysis.snowball_it import stem as stem_it
+
+            self._stem = stem_it
+        elif lang_iso == "nl":
+            from phphinder_spark.analysis.snowball_nl import stem as stem_nl
+
+            self._stem = stem_nl
         else:
             raise NotImplementedError(
-                "Snowball stemmers implemented: en, de, es, fr "
+                "Snowball stemmers implemented: en, de, es, fr, pt, it, nl "
                 f"(got {lang_iso!r})"
             )
 

@@ -289,13 +289,17 @@ def bm25_topk_blockmax(
     # probing — the docs most likely to set a high threshold, at a cost
     # independent of any term's document frequency)
     seed_ids = [
-        r["doc_id"]
+        (r["doc_id"],)
         for r in bounded_all.orderBy(F.desc("bound"), F.asc("doc_id"))
         .limit(4 * k)
         .collect()
     ]
+    # broadcast-join the seed frame rather than embedding up to 4k doc_id
+    # literals in the plan twice (isin over thousands of literals bloats
+    # the plan and re-parses per use)
+    seed_df = spark.createDataFrame(seed_ids, "doc_id long")
     seed_scores = exact_scores(
-        hits.where(F.col("doc_id").isin(seed_ids))
+        hits.join(F.broadcast(seed_df), "doc_id", "left_semi")
     ).cache()
     kth = (
         seed_scores.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -305,7 +309,7 @@ def bm25_topk_blockmax(
     theta = kth[-1]["score"] if len(kth) >= k else float("-inf")
 
     # 3. survivors: unscored docs whose bound clears θ
-    bounded = bounded_all.where(~F.col("doc_id").isin(seed_ids))
+    bounded = bounded_all.join(F.broadcast(seed_df), "doc_id", "left_anti")
     # 1e-6 slack absorbs the 6-dp rounding of θ (scores are compared rounded)
     survivors = bounded.where(F.col("bound") >= theta - 1e-6).select("doc_id")
 

@@ -1,8 +1,10 @@
-"""Snowball de/es/fr stemmer vectors + multilingual analyzer end-to-end.
+"""Snowball de/es/fr/pt/it/nl stemmer vectors + multilingual analyzer
+end-to-end.
 
 Vectors are hand-derived step-by-step from the published algorithm
-descriptions (snowballstem.org/algorithms/{german,spanish,french}/), the
-same source the reference's wamania/php-stemmer implements
+descriptions (snowballstem.org/algorithms/{german,spanish,french,
+portuguese,italian,dutch}/), the same source the reference's
+wamania/php-stemmer implements
 (reference: src/Transformer/StemmerTransformer.php:30-39); test layout
 models tests/Unit/Transformer/StemmerTransformerTest.php.
 """
@@ -13,6 +15,9 @@ from phphinder_spark.analysis.analyzers import Analyzer, StemmerTransformer
 from phphinder_spark.analysis.snowball_de import stem as stem_de
 from phphinder_spark.analysis.snowball_es import stem as stem_es
 from phphinder_spark.analysis.snowball_fr import stem as stem_fr
+from phphinder_spark.analysis.snowball_it import stem as stem_it
+from phphinder_spark.analysis.snowball_nl import stem as stem_nl
+from phphinder_spark.analysis.snowball_pt import stem as stem_pt
 
 
 @pytest.mark.parametrize(
@@ -81,32 +86,105 @@ def test_french_stemmer(word, expected):
     assert stem_fr(word) == expected
 
 
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("amoroso", "amor"),            # oso in R2
+        ("comendo", "com"),             # step 2: endo in RV
+        ("cantarão", "cant"),           # nasal marking + step 2 ara~o
+        ("canções", "cançõ"),           # step 2 es; ã/õ restored
+        ("bondade", "bondad"),          # step 5 final e in RV
+        ("trabalhadores", "trabalh"),   # adores in R2
+        ("felicidade", "felic"),        # idade in R2; ic NOT in R2 -> kept
+        ("nacionalidade", "nacional"),  # idade in R2
+        ("lógica", "lógic"),            # ica fails R2 (among: no retry); step 4 a
+        ("quilométricas", "quilométr"), # icas in R2 (accents NOT folded in pt)
+        ("falaríamos", "fal"),          # step 2 aríamos
+        ("bebê", "beb"),                # step 5 ê
+        ("chegou", "cheg"),             # step 2 ou
+        ("proposição", "proposiçã"),    # step 4 o; nasal restore
+    ],
+)
+def test_portuguese_stemmer(word, expected):
+    assert stem_pt(word) == expected
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("abbandonata", "abbandon"),      # step 2 ata in RV
+        ("pronto", "pront"),              # step 3a final o
+        ("mangiandolo", "mang"),          # step 0 pronoun after ando, 2, 3a
+        ("cantando", "cant"),             # step 2 ando
+        ("organizzazione", "organizz"),   # azione in R2
+        ("crocchio", "crocc"),            # 3a vowel + preceding i; 3b ch -> c
+        ("crocchi", "crocc"),             # spec's own step-3 example chain
+        ("felicità", "felic"),            # ità in R2; ic not in R2 -> kept
+        ("logia", "log"),                 # logia NOT in R2; 3a a then i
+        ("finirò", "fin"),                # step 2 irò (acute folded to grave)
+        ("amichevole", "amichevol"),      # step 3a final e
+        ("gioia", "gioi"),                # marked I survives the 3a i-deletion
+    ],
+)
+def test_italian_stemmer(word, expected):
+    assert stem_it(word) == expected
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("lichamelijk", "licham"),        # lijk in R2 + repeat step 2
+        ("lichamelijke", "licham"),       # step 2 e then lijk
+        ("mogelijkheden", "mogelijk"),    # heden -> heid; 3a heid in R2
+        ("katten", "kat"),                # en + undouble tt
+        ("huizen", "huiz"),               # en, valid en-ending
+        ("boeken", "boek"),
+        ("gekke", "gek"),                 # step 2 e + undouble kk
+        ("opvoeding", "opvoed"),          # ing in R2
+        ("weelderig", "weelder"),         # ig in R2, not preceded by e
+        ("uitvoerbaar", "uitvoer"),       # baar in R2
+        ("bedelaar", "bedelar"),          # step 4 undouble aa
+        ("maan", "man"),                  # spec step-4 example
+        ("brood", "brod"),                # spec step-4 example
+        ("royaal", "royal"),              # Y marking is consonant for step 4
+        ("lelijk", "lelijk"),             # lijk not in R2 -> unchanged
+    ],
+)
+def test_dutch_stemmer(word, expected):
+    assert stem_nl(word) == expected
+
+
 def test_stemmer_transformer_dispatch():
     assert StemmerTransformer("de").apply("katzen") == "katz"
     assert StemmerTransformer("es").apply("canciones") == "cancion"
     assert StemmerTransformer("fr").apply("nationale") == "national"
     assert StemmerTransformer("en").apply("witnesses") == "wit"
+    assert StemmerTransformer("pt").apply("trabalhadores") == "trabalh"
+    assert StemmerTransformer("it").apply("organizzazione") == "organizz"
+    assert StemmerTransformer("nl").apply("mogelijkheden") == "mogelijk"
     with pytest.raises(NotImplementedError):
         StemmerTransformer("xx")
 
 
-@pytest.mark.parametrize("lang", ["de", "es", "fr"])
+_CHAIN_SAMPLES = {
+    "de": ("der hund und die katzen", "katz", "und"),
+    "es": ("el gato y las canciones", "cancion", "el"),
+    "fr": ("le chat et les actions", "action", "le"),
+    "pt": ("os trabalhadores e as canções", "trabalh", "os"),
+    "it": ("la organizzazione e le gioie", "organizz", "la"),
+    "nl": ("de katten en de boeken", "kat", "de"),
+}
+
+
+@pytest.mark.parametrize("lang", sorted(_CHAIN_SAMPLES))
 def test_default_analyzer_chain_non_english(lang):
-    """Analyzer.default(lang) now builds a full lowercase+stopword+stem
-    chain for non-English languages (previously NotImplementedError)."""
+    """Analyzer.default(lang) builds a full lowercase+stopword+stem chain
+    for every implemented Snowball language."""
     # lowercase input: the reference's filter-inside-transformer quirk
     # (P7) checks stop words on the RAW term, before lowercasing
-    analyzer = Analyzer.default(lang)
-    terms = analyzer.terms("der hund und die katzen" if lang == "de"
-                           else "el gato y las canciones" if lang == "es"
-                           else "le chat et les actions")
-    assert terms  # stopwords dropped, remaining terms stemmed
-    if lang == "de":
-        assert "katz" in terms and "und" not in terms
-    elif lang == "es":
-        assert "cancion" in terms and "el" not in terms
-    else:
-        assert "action" in terms and "le" not in terms
+    text, want, stopword = _CHAIN_SAMPLES[lang]
+    terms = Analyzer.default(lang).terms(text)
+    assert want in terms and stopword not in terms
 
 
 def test_multilanguage_stemmed_end_to_end(spark):
