@@ -233,6 +233,20 @@ def _q_ann_srp(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=32, n_probe=4
+    ).select("query_id", "vec_id")
+
+
 def _q_token_counts(spark, sf_dir):
     out = textstats.token_counts(_documents(spark, sf_dir))
     return out.select(
@@ -322,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_srp": _q_dedup_embedding_srp,
         "ann_topk": _q_ann_topk,
         "ann_srp": _q_ann_srp,
+        "ann_ivf": _q_ann_ivf,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "agg_lang_stats": _q_lang_stats,
@@ -597,8 +612,41 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
         "(acc, x) -> (acc*1000003 + x) % 2147483647), 0) AS fp FROM documents"
     )
 
+    # ann_ivf: replay the IVF structure exactly — centroids are the 32
+    # lowest-id vectors, assignment/probing rank round-6 cosines with
+    # cid tie-break (the round-6 cosine equivalence is proven by ann_topk)
+    ann_ivf = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 32),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (SELECT vec_id AS query_id, v AS qv FROM emb ORDER BY vec_id LIMIT 5),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+)
+SELECT query_id, vec_id FROM (
+  SELECT p.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, a.vec_id) AS rnk
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+) WHERE rnk <= 10
+"""
+
     return {
         "ann_srp": ann_srp,
+        "ann_ivf": ann_ivf,
         "dedup_embedding_srp": emb_srp,
         "dedup_minhash": minhash,
         "dedup_simhash": simhash,

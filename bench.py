@@ -113,6 +113,23 @@ def main() -> None:
         except Exception:
             pass
 
+    # blockmax crossover evidence (scripts/blockmax_crossover.py writes
+    # the full rows to BENCH_blockmax.json + BENCH.md; embed the headline)
+    blockmax_summary = None
+    p = os.path.join(here, "BENCH_blockmax.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                bx = json.load(fh)
+            blockmax_summary = {
+                "n_docs": bx.get("n_docs"),
+                "seg_best_speedup": bx.get("seg_best_speedup"),
+                "seg_median_speedup": bx.get("seg_median_speedup"),
+                "identical_topk": bx.get("identical_topk"),
+            }
+        except Exception:
+            pass
+
     details = {
         "rows": rows,
         "n_docs": n_docs,
@@ -140,6 +157,7 @@ def main() -> None:
         "bm25_batched_10q_sec": batched_sec,
         "bm25_blockmax_sec": blockmax_sec,
         "scaling": scaling_summary or None,
+        "blockmax_crossover": blockmax_summary,
     }
     print(json.dumps(result))
     spark.stop()

@@ -9,6 +9,9 @@
   Each vector lands in one bucket per table; queries probe their bucket(s)
   only, turning the N×Q score matrix into |bucket| × Q. Recall is asserted
   against brute force in tests.
+- ``ivf_topk``: inverted-file (IVF) coarse quantizer — the other standard
+  ANN scale path: assign every vector to its nearest centroid cell, probe
+  only the query's ``n_probe`` nearest cells.
 """
 
 from __future__ import annotations
@@ -88,6 +91,89 @@ def srp_bucket_col(vec_col: str | Column, table_planes: list[list[float]]) -> Co
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid cells only.
+
+    Centroids are the ``n_centroids`` lowest-id vectors — deterministic
+    sampled-vector centroids (the standard k-means++-free initialization,
+    no Lloyd iterations), chosen so the WHOLE structure replays exactly in
+    ANSI SQL for the value-level DuckDB oracle; trained centroids are a
+    drop-in replacement for the ``cents`` frame. Every corpus vector is
+    assigned to its max-cosine centroid (rank-1 over a broadcast of the
+    tiny centroid table — map-side, no shuffle on the corpus); a query
+    probes its ``n_probe`` nearest cells and brute-forces only those.
+
+    Scale: the candidate join shuffles on cid (n_centroids uniform-ish
+    cells; at 100 TB pick n_centroids ~ sqrt(N) and the probed fraction
+    is n_probe/n_centroids of the corpus). Returns (query_id, vec_id,
+    cosine, rank) like ``cosine_topk``."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("cv")
+    )
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centv"))
+    )
+    cdot = F.aggregate(
+        F.zip_with("cv", "centv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cdot, 6))
+        .withColumn("arnk", F.row_number().over(w_assign))
+        .where(F.col("arnk") == 1)
+        .select("vec_id", "cv", "cid")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), _normalized(vec_col).alias("qv")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "centv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(qdot, 6))
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .where(F.col("prnk") <= n_probe)
+        .select("query_id", "cid")
+    )
+    cands = assign.join(F.broadcast(probes), "cid").select(
+        "query_id", "vec_id", "cv"
+    )
+    dot = F.aggregate(
+        F.zip_with("cv", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = cands.join(F.broadcast(qs), "query_id").withColumn(
+        "cosine", F.round(dot, 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
 
 
 def srp_lsh_topk(

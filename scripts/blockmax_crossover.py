@@ -195,6 +195,19 @@ def main() -> None:
                 f"{r['speedup']}x | {r['candidates']} | {r['scored']} | "
                 f"{r['pruned_fraction']} |\n"
             )
+    speedups = sorted(r["speedup"] for r in seg_rows)
+    summary = {
+        "n_docs": n_docs,
+        "k": k,
+        "layout": "clustered-topics",
+        "seg_best_speedup": speedups[-1],
+        "seg_median_speedup": speedups[len(speedups) // 2],
+        "identical_topk": True,
+        "seg": seg_rows,
+        "mem": mem_rows,
+    }
+    with open("/root/repo/BENCH_blockmax.json", "w") as fh:
+        json.dump(summary, fh, indent=1)
     print(json.dumps({"done": True, "seg": seg_rows, "mem": mem_rows}))
     spark.stop()
 

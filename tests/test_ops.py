@@ -219,6 +219,27 @@ def test_srp_lsh_recall(spark, embeddings):
     assert recall >= 0.6, recall
 
 
+def test_ivf_recall_and_cell_structure(spark, embeddings):
+    queries = (
+        embeddings.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["vec_id"]) for r in a_rows}
+    recall = len(e & a) / len(e)
+    # probing 6/16 cells: every reported neighbour is real (subset of the
+    # scored candidates), and recall must be well above the 6/16 random
+    # floor because queries probe their OWN cells first
+    assert recall >= 0.6, recall
+    # the query's own vector lives in a probed cell -> rank 1 self-match
+    for qid in {r["query_id"] for r in a_rows}:
+        best = min((r["rank"], r["vec_id"]) for r in a_rows if r["query_id"] == qid)
+        assert best == (1, qid)
+
+
 def test_token_counts_and_quality(documents):
     tc = textstats.token_counts(documents).cache()
     row = tc.orderBy("doc_id").first()
