@@ -461,6 +461,7 @@ def segment_bm25_topk_blockmax(
     # chunk bounds from METADATA ONLY — payload column never scanned here
     meta = seg.select("term", "chunk", "max_tf").collect()
     chunk_bound: dict[int, float] = {}
+    terms_per_chunk: dict[int, set] = {}
     for r in meta:
         ub = (
             idf[r["term"]]
@@ -469,6 +470,29 @@ def segment_bm25_topk_blockmax(
             / (r["max_tf"] + k1 * (1.0 - b))
         )
         chunk_bound[r["chunk"]] = chunk_bound.get(r["chunk"], 0.0) + ub
+        terms_per_chunk.setdefault(r["chunk"], set()).add(r["term"])
+
+    # quick reject (all-hot queries): when EVERY chunk holds EVERY query
+    # term, bound-based skipping can at best shave tf variance while the
+    # θ-seeding pass decodes its seed chunks twice — measured 2x slower
+    # than exhaustive at 1.5M docs (BENCH.md crossover, 'function return
+    # class'). Score everything in one pass instead; identical top-k.
+    if len(terms_per_chunk) > 0 and all(
+        len(s) == len(dfreq) for s in terms_per_chunk.values()
+    ):
+        topk = (
+            exact_scores(seg)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        metrics = {
+            "theta": float("-inf"),
+            "chunks_total": len(chunk_bound),
+            "chunks_decoded": len(chunk_bound),
+            "chunk_skip_fraction": 0.0,
+            "quick_reject": True,
+        }
+        return topk, metrics
 
     # θ seed: rarest terms (ascending global df) until the seed can fill k
     seed_terms: list[str] = []

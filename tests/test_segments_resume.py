@@ -226,6 +226,49 @@ def test_segment_blockmax_equals_exhaustive(spark, tmp_path):
         assert metrics["chunks_total"] > 0
 
 
+def test_segment_blockmax_quick_rejects_all_hot_queries(spark, tmp_path):
+    """When every chunk holds every query term (all-hot query), the
+    metadata-only quick reject skips the θ-seeding pass entirely (it was
+    measured 2x slower than exhaustive at 1.5M docs) — identical top-k."""
+    import json as _json
+    import os
+
+    from phphinder_spark.index.segments import (
+        encode_segments,
+        segment_bm25_topk,
+        segment_bm25_topk_blockmax,
+        write_segments,
+    )
+
+    rows = []
+    for d in range(160):
+        rows.append(("content", "hot_a", d, 1 + d % 3, [0]))
+        rows.append(("content", "hot_b", d, 1 + d % 2, [1]))
+    postings = spark.createDataFrame(
+        rows, "field string, term string, doc_id long, tf long, positions array<int>"
+    )
+    out = str(tmp_path / "hot")
+    os.makedirs(out, exist_ok=True)
+    write_segments(encode_segments(postings, chunk_span=32), os.path.join(out, "segments"))
+    postings.groupBy("field", "term").count().withColumnRenamed("count", "df").write.parquet(
+        os.path.join(out, "dictionary")
+    )
+    postings.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl")).write.parquet(
+        os.path.join(out, "doclens")
+    )
+    with open(os.path.join(out, "stats.json"), "w") as fh:
+        _json.dump({"n_docs": 160, "avgdl": {"content": 4.0}}, fh)
+
+    cold = segment_bm25_topk(spark, out, ["hot_a", "hot_b"], "content", k=8).collect()
+    pruned, m = segment_bm25_topk_blockmax(
+        spark, out, ["hot_a", "hot_b"], "content", k=8
+    )
+    assert m.get("quick_reject") is True
+    assert [(r["doc_id"], r["score"]) for r in pruned.collect()] == [
+        (r["doc_id"], r["score"]) for r in cold
+    ]
+
+
 def test_segment_blockmax_skips_chunks(spark, tmp_path):
     """Handcrafted skewed store: the high-scoring docs live in one chunk;
     every other chunk's bound falls below θ and is never decoded."""
