@@ -177,6 +177,14 @@ def _q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_documents(spark, sf_dir), "text", threshold=0.7)
 
 
+def _q_dedup_jaccard_ngram(spark, sf_dir):
+    """Order-sensitive near-dup: exact Jaccard over distinct 3-word
+    shingle sets (n-gram Jaccard), size-band blocked."""
+    return dedup.jaccard_pairs(
+        _documents(spark, sf_dir), "text", threshold=0.5, shingle_k=3
+    )
+
+
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _documents(spark, sf_dir), "text", threshold=0.6
@@ -290,6 +298,10 @@ def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    return textstats.bpe_token_estimate(_documents(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir))
 
@@ -330,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_doclens": _q_doclens,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_ngram": _q_dedup_jaccard_ngram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -342,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lang_stats": _q_lang_stats,
         "corpus_sha256": _q_sha256,
         "text_langid": _q_langid,
+        "text_bpe_tokens": _q_bpe_tokens,
         "text_fingerprint": _q_fingerprint,
         "multimodal_features": _q_multimodal,
     }
@@ -418,6 +432,23 @@ SELECT a.id AS a_id, b.id AS b_id,
 FROM base a JOIN base b ON a.id < b.id
 WHERE round(len(list_intersect(a.toks, b.toks))
             / greatest(len(list_distinct(a.toks || b.toks)), 1), 6) >= 0.7
+""".format(toks=_TOKS)
+
+    # n-gram (3-shingle) Jaccard: UNBLOCKED brute force over the same
+    # shingle construction the minhash oracle proved value-identical
+    jaccard_ngram = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(len({toks})-2, 1)+1),
+           i -> array_to_string(list_slice({toks}, i, i+2), ' '))) AS toks
+  FROM documents
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       round(len(list_intersect(a.toks, b.toks))
+             / greatest(len(list_distinct(a.toks || b.toks)), 1), 6) AS jaccard
+FROM base a JOIN base b ON a.id < b.id
+WHERE round(len(list_intersect(a.toks, b.toks))
+            / greatest(len(list_distinct(a.toks || b.toks)), 1), 6) >= 0.5
 """.format(toks=_TOKS)
 
     ann = """
@@ -699,6 +730,7 @@ SELECT query_id, vec_id FROM (
             "doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup FROM documents"
         ),
         "dedup_jaccard": jaccard,
+        "dedup_jaccard_ngram": jaccard_ngram,
         "dedup_embedding": emb_dup,
         "ann_topk": ann,
         "text_token_counts": (
@@ -723,6 +755,14 @@ SELECT query_id, vec_id FROM (
             "FROM documents GROUP BY lang"
         ),
         "corpus_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        # same lookahead-free piece pattern (Java regex == RE2 here);
+        # '' escapes the apostrophes inside the SQL literal
+        "text_bpe_tokens": (
+            "SELECT doc_id, CAST(coalesce(len(regexp_extract_all(text, "
+            "'{pat}')), 0) AS BIGINT) AS n_pieces FROM documents".format(
+                pat=textstats.BPE_PIECE_PATTERN.replace("'", "''")
+            )
+        ),
         # binary payloads: octet_length computed live by DuckDB over the
         # same committed BLOBs Spark reads; sha256_expected is the golden
         # digest column (DuckDB 1.0 lacks sha256(BLOB)) — Spark recomputes

@@ -43,8 +43,13 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     block_col: str | None = None,
+    shingle_k: int | None = None,
 ) -> DataFrame:
-    """EXACT token-set Jaccard >= threshold pairs (a_id < b_id).
+    """EXACT set-Jaccard >= threshold pairs (a_id < b_id) over the
+    distinct token set — or, with ``shingle_k``, over the distinct
+    k-word shingle (n-gram) set, the order-sensitive variant that
+    near-dup pipelines usually want (two docs with the same vocabulary
+    in different order stop matching).
 
     Default blocking is a *lossless* geometric size band: J(a,b) >= t
     implies |b|/|a| <= 1/t, i.e. |ln|a| - ln|b|| <= ln(1/t), so with
@@ -59,7 +64,11 @@ def jaccard_pairs(
     the band — at 100 TB route candidates through ``minhash_lsh_pairs``
     and exact-verify (same output contract), or pass a semantic
     ``block_col`` (cluster/shard id)."""
-    toks = F.array_distinct(_tokens(col))
+    toks = (
+        shingles_col(col, shingle_k)
+        if shingle_k is not None
+        else F.array_distinct(_tokens(col))
+    )
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     union = F.size(F.array_union("a_toks", "b_toks"))

@@ -53,6 +53,26 @@ def token_counts(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pieces, restricted to a dialect shared by
+# Java regex (Spark) and RE2 (DuckDB): leftmost-first alternation, no
+# lookahead (GPT-2's \s+(?!\S) is RE2-inexpressible — trailing-space
+# grouping differs slightly, counts stay equivalent for estimation)
+BPE_PIECE_PATTERN = r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_estimate(df: DataFrame, col: str = "text") -> DataFrame:
+    """(doc_id, n_pieces) — BPE-ish token-count estimate: the number of
+    GPT-style pre-tokenizer pieces (contractions, space-prefixed word /
+    number / punctuation runs). A byte-pair vocabulary refines each piece
+    into >= 1 tokens, so this is the standard cheap lower-bound estimate
+    for LLM token budgeting. One JVM regexp per row, no shuffle."""
+    pieces = F.regexp_extract_all(F.col(col), F.lit(BPE_PIECE_PATTERN), F.lit(0))
+    return df.select(
+        "doc_id",
+        F.coalesce(F.size(pieces), F.lit(0)).cast("long").alias("n_pieces"),
+    )
+
+
 def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
     """Heuristic quality features per doc, all JVM expressions:
     char length, alpha ratio, punctuation ratio, stopword ratio,

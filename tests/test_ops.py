@@ -240,6 +240,38 @@ def test_ivf_recall_and_cell_structure(spark, embeddings):
         assert best == (1, qid)
 
 
+def test_jaccard_ngram_is_order_sensitive(spark):
+    """Shingle Jaccard separates same-vocabulary different-order docs that
+    token-set Jaccard calls identical."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # identical
+        (3, "zeta epsilon delta gamma beta alpha"),   # same vocab, reversed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, "text", threshold=0.9).collect()}
+    ngr = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, "text", threshold=0.9, shingle_k=3).collect()}
+    assert tok[(1, 2)] == 1.0 and tok[(1, 3)] == 1.0  # token sets blind to order
+    assert ngr[(1, 2)] == 1.0 and (1, 3) not in ngr   # shingles are not
+
+
+def test_bpe_token_estimate(spark):
+    rows = [
+        (1, "Hello world, it's 2026!"),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_pieces"]
+           for r in textstats.bpe_token_estimate(df).collect()}
+    # Hello| world|,| it|'s| 2026|!  -> 7 pieces
+    assert got[1] == 7
+    assert got[2] == 0 and got[3] == 0 and got[4] == 1  # whitespace run
+
+
 def test_token_counts_and_quality(documents):
     tc = textstats.token_counts(documents).cache()
     row = tc.orderBy("doc_id").first()
