@@ -96,6 +96,48 @@ def dedup_stream(
     )
 
 
+def running_term_df_stream(
+    stream: DataFrame,
+    col: str = "content",
+    token_split: str = r"\W+",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): a RUNNING
+    per-term document frequency over a document stream — the streamed
+    analogue of the batch dictionary, maintained incrementally instead of
+    rescanning the corpus per refresh.
+
+    Per micro-batch each doc contributes its DISTINCT lowercase tokens;
+    the per-term state is one long (docs seen so far), updated and
+    re-emitted only for terms present in the batch (update semantics).
+    State size is O(|vocabulary|) — the same artifact the batch
+    dictionary materializes — and survives restarts via the checkpoint
+    (asserted in tests). Upstream must deliver each doc exactly once
+    (the file source + checkpoint does); re-delivered docs would double
+    count, the standard caveat of streamed df maintenance."""
+    import pandas as pd
+
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(col)), token_split), lambda x: x != "")
+    )
+    exploded = stream.select(F.explode(toks).alias("term"))
+
+    def update(key, pdfs, state) -> "object":
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        total = (state.get[0] if state.exists else 0) + add
+        state.update((total,))
+        yield pd.DataFrame({"term": [key[0]], "df": [total]})
+
+    return exploded.groupBy("term").applyInPandasWithState(
+        update,
+        outputStructType="term string, df long",
+        stateStructType="df long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def windowed_ingest_stats(
     stream: DataFrame,
     event_time_col: str = "event_time",

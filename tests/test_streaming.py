@@ -93,6 +93,66 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     assert got == ["alpha beta", "gamma delta"]
 
 
+def test_running_term_df_state_accumulates_and_survives_restart(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-term running document
+    frequency accumulates across micro-batches and restores from the
+    checkpoint on restart."""
+    from phphinder_spark.streaming.incremental import running_term_df_stream
+
+    inp = str(tmp_path / "in")
+    ddl = "repo string, content string"
+    spark.createDataFrame(
+        [("r1", "alpha beta alpha"), ("r2", "alpha gamma")], ddl
+    ).write.parquet(f"{inp}/w0.parquet")
+    spark.createDataFrame([("r3", "beta beta delta")], ddl).write.parquet(
+        f"{inp}/w1.parquet"
+    )
+
+    upd = str(tmp_path / "updates")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(inp)
+        )
+
+        # foreachBatch sink: supports update-mode output AND checkpoint
+        # recovery (the memory sink does not recover)
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(upd)
+
+        q = (
+            running_term_df_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(upd)
+            .groupBy("term")
+            .agg(F.max("df").alias("df"))
+            .collect()
+        }
+
+    got = run()
+    # per-doc DISTINCT tokens: alpha in 2 docs, beta in 2, gamma/delta in 1
+    assert got == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
+
+    # restart with a new wave: state restores from the checkpoint and
+    # keeps counting (not reset to the new wave's counts)
+    spark.createDataFrame([("r4", "alpha delta")], ddl).write.parquet(
+        f"{inp}/w2.parquet"
+    )
+    got2 = run()
+    assert got2 == {"alpha": 3, "beta": 2, "gamma": 1, "delta": 2}
+
+
 def test_windowed_ingest_stats(spark, tmp_path):
     from datetime import datetime
 
