@@ -790,12 +790,16 @@ class SparkSearchEngine:
         walk(query)
         if not terms:
             return {}
-        # probe the DICTIONARY, not the postings: (term, field) existence is
-        # the same question, the dictionary is orders of magnitude smaller,
-        # and in segment-serving mode it's a persisted artifact (probing
-        # postings there would decode payloads)
+        # (term, field) existence: probe the cached postings in memory mode
+        # (no extra artifact; the first-query dictionary build costs ~1-2 s
+        # at sf0.1), but the persisted DICTIONARY in segment-serving mode —
+        # probing postings there would decode payloads
+        if self._serve == "segments":
+            src = self.index.dict_df
+        else:
+            src = self.index.postings
         rows = (
-            self.index.dict_df.where(F.col("term").isin(list(terms)))
+            src.where(F.col("term").isin(list(terms)))
             .select("term", "field")
             .distinct()
             .collect()

@@ -247,14 +247,22 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_chunk_widths(max_hamming: int) -> list[int]:
-    """Bit widths of the (max_hamming + 2) pigeonhole chunks, distributing
-    64 bits as evenly as possible (wider chunks first). Shared with the
-    generated DuckDB oracle so both engines bucket identically."""
-    n_chunks = max_hamming + 2
+def simhash_chunk_widths(max_hamming: int, n_chunks: int | None = None) -> list[int]:
+    """Bit widths of the pigeonhole chunks (default max_hamming + 2 for
+    the two-chunk scheme), distributing 64 bits as evenly as possible
+    (wider chunks first). Shared with the generated DuckDB oracle so both
+    engines bucket identically."""
+    n_chunks = n_chunks or (max_hamming + 2)
     return [
         64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)
     ]
+
+
+# scheme='auto' crossover: below this many docs the single-chunk keying's
+# smaller bucket space cannot go quadratic (N/512 docs per bucket is tiny)
+# and the two-chunk scheme's C(h+2,2)-row explode is pure overhead
+# (measured: 1.9 s -> 2.9 s at sf0.1's 5k docs)
+_SIMHASH_PAIRS_MIN_DOCS = 200_000
 
 
 def simhash_pairs(
@@ -263,6 +271,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    scheme: str = "auto",
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs with hamming <= max_hamming.
 
@@ -281,17 +290,25 @@ def simhash_pairs(
     collides in >= 1 combo bucket (lossless). Verify with bit_count(xor)
     on the packed 64-bit value.
 
-    Scale: the single-chunk scheme this replaces had only 2^(64/(h+1))
-    buckets per chunk index — 512 at max_hamming=6, so at 10^9+ docs every
-    bucket held ~N/512 docs and the self-join went quadratic. Two-chunk
-    keys square the bucket space (65,536 per combo at max_hamming=6) for a
-    constant-factor row blow-up: C(h+2,2) exploded rows per doc instead of
-    h+1 (28 vs 7 at h=6)."""
+    Scale (``scheme``): the ``'single'``-chunk keying has only
+    2^(64/(h+1)) buckets per chunk index — 512 at max_hamming=6, so at
+    10^9+ docs every bucket holds ~N/512 docs and the self-join goes
+    quadratic. ``'pairs'`` keys on every chunk PAIR, squaring the bucket
+    space (65,536 per combo at max_hamming=6) for a constant-factor row
+    blow-up: C(h+2,2) exploded rows per doc instead of h+1 (28 vs 7 at
+    h=6). ``'auto'`` (default) counts the corpus once and picks 'pairs'
+    above 200k docs — below that the explode overhead outweighs buckets
+    that can't go quadratic anyway. Both keyings are lossless, so the
+    OUTPUT (and the DuckDB oracle) is identical either way."""
     import hashlib
     import re
 
-    widths = simhash_chunk_widths(max_hamming)
-    n_chunks = len(widths)
+    if scheme not in ("auto", "single", "pairs"):
+        raise ValueError(f"scheme must be 'auto', 'single' or 'pairs', got {scheme!r}")
+    if scheme == "auto":
+        scheme = "pairs" if df.count() >= _SIMHASH_PAIRS_MIN_DOCS else "single"
+    n_chunks = max_hamming + (2 if scheme == "pairs" else 1)
+    widths = simhash_chunk_widths(max_hamming, n_chunks)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
     @F.pandas_udf("struct<sh: long, chunks: array<long>>")
@@ -328,13 +345,16 @@ def simhash_pairs(
     hashed = df.select(
         F.col(id_col).alias("id"), sim_udf(F.col(col)).alias("s")
     ).select("id", F.col("s.sh").alias("sh"), F.col("s.chunks").alias("chunks")).cache()
-    # combo key: chunk i's value shifted past chunk j's width — a single
-    # long, uniform across 2^(w_i + w_j) values
-    combos = [
-        F.col("chunks")[i] * F.lit(1 << widths[j]) + F.col("chunks")[j]
-        for i in range(n_chunks)
-        for j in range(i + 1, n_chunks)
-    ]
+    if scheme == "pairs":
+        # combo key: chunk i's value shifted past chunk j's width — a
+        # single long, uniform across 2^(w_i + w_j) values
+        combos = [
+            F.col("chunks")[i] * F.lit(1 << widths[j]) + F.col("chunks")[j]
+            for i in range(n_chunks)
+            for j in range(i + 1, n_chunks)
+        ]
+    else:
+        combos = [F.col("chunks")[i] for i in range(n_chunks)]
     keyed = hashed.select("id", "sh", F.posexplode(F.array(*combos)).alias("ck", "cv"))
     a = keyed.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "ck", "cv")
     b = keyed.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "ck", "cv")

@@ -120,13 +120,17 @@ def _simhash_fingerprint(text):
     return int((pos << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
 
-def test_simhash_two_chunk_blocking_is_lossless(spark, documents):
-    """The two-chunk pigeonhole must find EVERY pair with hamming <= h —
-    cross-checked against an all-pairs brute force on real docs."""
+@pytest.mark.parametrize("scheme", ["single", "pairs"])
+def test_simhash_blocking_is_lossless(spark, documents, scheme):
+    """BOTH pigeonhole keyings must find EVERY pair with hamming <= h —
+    cross-checked against an all-pairs brute force on real docs (so the
+    scheme='auto' pick can never change the output)."""
     sample = documents.limit(80).cache()
     got = {
         (r["a_id"], r["b_id"]): r["hamming"]
-        for r in dedup.simhash_pairs(sample, "text", max_hamming=6).collect()
+        for r in dedup.simhash_pairs(
+            sample, "text", max_hamming=6, scheme=scheme
+        ).collect()
     }
     rows = sample.select("doc_id", "text").collect()
     fps = {r["doc_id"]: _simhash_fingerprint(r["text"]) for r in rows}
