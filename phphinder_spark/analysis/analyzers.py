@@ -109,10 +109,18 @@ class StemmerTransformer(_Filtered):
             from phphinder_spark.analysis.snowball_nl import stem as stem_nl
 
             self._stem = stem_nl
+        elif lang_iso in ("da", "no", "sv"):
+            from phphinder_spark.analysis import snowball_scand
+
+            self._stem = {
+                "da": snowball_scand.stem_da,
+                "no": snowball_scand.stem_no,
+                "sv": snowball_scand.stem_sv,
+            }[lang_iso]
         else:
             raise NotImplementedError(
-                "Snowball stemmers implemented: en, de, es, fr, pt, it, nl "
-                f"(got {lang_iso!r})"
+                "Snowball stemmers implemented: en, de, es, fr, pt, it, nl, "
+                f"da, no, sv (got {lang_iso!r})"
             )
 
     def apply(self, term: str) -> str | None:

@@ -1,9 +1,8 @@
-"""Snowball de/es/fr/pt/it/nl stemmer vectors + multilingual analyzer
-end-to-end.
+"""Snowball de/es/fr/pt/it/nl/da/no/sv stemmer vectors + multilingual
+analyzer end-to-end.
 
 Vectors are hand-derived step-by-step from the published algorithm
-descriptions (snowballstem.org/algorithms/{german,spanish,french,
-portuguese,italian,dutch}/), the same source the reference's
+descriptions (snowballstem.org/algorithms/*/stemmer.html), the same source the reference's
 wamania/php-stemmer implements
 (reference: src/Transformer/StemmerTransformer.php:30-39); test layout
 models tests/Unit/Transformer/StemmerTransformerTest.php.
@@ -154,6 +153,69 @@ def test_dutch_stemmer(word, expected):
     assert stem_nl(word) == expected
 
 
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("undersøgelse", "undersøg"),   # e; els + repeat step 2
+        ("indtagelse", "indtag"),
+        ("sikkerhed", "sikker"),        # hed in R1
+        ("kærligheden", "kær"),         # heden then lig
+        ("hunds", "hund"),              # s after valid s-ending d
+        ("huses", "hus"),               # es
+        ("bekendt", "bekend"),          # consonant pair dt in R1
+        ("træffe", "træf"),             # undouble: only the LAST char must be in R1
+        ("billigst", "bil"),            # igst -> st; ig; undouble ll
+        ("løst", "løst"),               # løst outside R1: protected
+        ("frisørerne", "frisør"),       # erne
+    ],
+)
+def test_danish_stemmer(word, expected):
+    from phphinder_spark.analysis.snowball_scand import stem_da
+
+    assert stem_da(word) == expected
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("mulighetene", "mul"),         # hetene then ig
+        ("banket", "bank"),             # et
+        ("fisks", "fisk"),              # s: k NOT preceded by a vowel -> valid
+        ("boks", "boks"),               # s: k preceded by vowel -> invalid
+        ("grovt", "grovt"),             # vt not entirely in R1 -> kept
+        ("vakreste", "vakrest"),        # e only ('este' is not a NO suffix)
+        ("hemmelighetens", "hemm"),     # hetens then elig
+        ("kjærlighet", "kjær"),         # het then lig
+    ],
+)
+def test_norwegian_stemmer(word, expected):
+    from phphinder_spark.analysis.snowball_scand import stem_no
+
+    assert stem_no(word) == expected
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("flickorna", "flick"),         # orna
+        ("flickor", "flick"),
+        ("häftigt", "häft"),            # gt pair then ig
+        ("upplöst", "upplös"),          # löst -> lös in R1
+        ("dagars", "dagar"),            # s after valid s-ending r
+        ("klokheten", "klok"),          # heten
+        ("möjligheternas", "möjlighet"),# ernas
+        ("vackraste", "vackr"),         # aste
+        ("hemligheter", "hem"),         # heter then lig
+        ("skalle", "skall"),            # sv does NOT undouble ll
+        ("fullt", "fullt"),             # fullt outside R1: protected
+    ],
+)
+def test_swedish_stemmer(word, expected):
+    from phphinder_spark.analysis.snowball_scand import stem_sv
+
+    assert stem_sv(word) == expected
+
+
 def test_stemmer_transformer_dispatch():
     assert StemmerTransformer("de").apply("katzen") == "katz"
     assert StemmerTransformer("es").apply("canciones") == "cancion"
@@ -167,6 +229,9 @@ def test_stemmer_transformer_dispatch():
 
 
 _CHAIN_SAMPLES = {
+    "da": ("en hund og to katte i huses", "hus", "og"),
+    "no": ("en katt og mulighetene", "mul", "og"),
+    "sv": ("en katt och flickorna", "flick", "och"),
     "de": ("der hund und die katzen", "katz", "und"),
     "es": ("el gato y las canciones", "cancion", "el"),
     "fr": ("le chat et les actions", "action", "le"),
