@@ -117,10 +117,14 @@ class StemmerTransformer(_Filtered):
                 "no": snowball_scand.stem_no,
                 "sv": snowball_scand.stem_sv,
             }[lang_iso]
+        elif lang_iso == "ru":
+            from phphinder_spark.analysis.snowball_ru import stem as stem_ru
+
+            self._stem = stem_ru
         else:
             raise NotImplementedError(
                 "Snowball stemmers implemented: en, de, es, fr, pt, it, nl, "
-                f"da, no, sv (got {lang_iso!r})"
+                f"da, no, sv, ru (got {lang_iso!r})"
             )
 
     def apply(self, term: str) -> str | None:

@@ -216,6 +216,29 @@ def test_swedish_stemmer(word, expected):
     assert stem_sv(word) == expected
 
 
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("книгами", "книг"),            # noun ами in RV
+        ("красивейший", "красив"),      # adj ий then superlative ейш
+        ("делавшийся", "дела"),         # reflexive + adj + participle вш after а
+        ("быстрее", "быстр"),           # adj ее
+        ("жизнь", "жизн"),              # noun ь
+        ("должностей", "должност"),     # ост NOT in R2 here -> kept
+        ("возможность", "возможн"),     # ь then derivational ост in R2
+        ("говорила", "говор"),          # verb ила
+        ("работающий", "работа"),       # adj ий + participle ющ after а
+        ("сделавшись", "сдела"),        # perfective gerund вшись after а
+        ("пример", "пример"),           # no ending
+        ("чёрный", "черн"),             # ё folded to е; adj ый
+    ],
+)
+def test_russian_stemmer(word, expected):
+    from phphinder_spark.analysis.snowball_ru import stem as stem_ru
+
+    assert stem_ru(word) == expected
+
+
 def test_stemmer_transformer_dispatch():
     assert StemmerTransformer("de").apply("katzen") == "katz"
     assert StemmerTransformer("es").apply("canciones") == "cancion"
@@ -233,6 +256,7 @@ _CHAIN_SAMPLES = {
     "no": ("en katt og mulighetene", "mul", "og"),
     "sv": ("en katt och flickorna", "flick", "och"),
     "de": ("der hund und die katzen", "katz", "und"),
+    "ru": ("книгами и жизнь без правил", "книг", "без"),
     "es": ("el gato y las canciones", "cancion", "el"),
     "fr": ("le chat et les actions", "action", "le"),
     "pt": ("os trabalhadores e as canções", "trabalh", "os"),
