@@ -1,25 +1,31 @@
 """Reference-style storage data-provider matrix: the same search suite
 over each storage backend (reference runs its integration suite over
 File/Dbal/Redis storages, tests/Integration/SearchEngineTest.php:199-224;
-here: MemoryStorage and ParquetSnapshotStorage — IcebergStorage needs a
-catalog jar absent from this environment and fails fast, see STATUS.md).
+here: MemoryStorage, ParquetSnapshotStorage and DuckDBStorage (the
+DbalStorage analogue) — IcebergStorage needs a catalog jar absent from
+this environment and fails fast, see STATUS.md).
 """
 
 import pytest
 
 from phphinder_spark.engine import SparkSearchEngine
-from phphinder_spark.index.storage import MemoryStorage, ParquetSnapshotStorage
+from phphinder_spark.index.storage import (
+    DuckDBStorage,
+    MemoryStorage,
+    ParquetSnapshotStorage,
+)
 from phphinder_spark.schema import test_schema as make_test_schema
 
-BACKENDS = ["memory", "parquet_snapshot"]
+BACKENDS = ["memory", "parquet_snapshot", "duckdb"]
 
 
 def _make_engine(spark, tmp_path, backend):
-    storage = (
-        MemoryStorage(spark)
-        if backend == "memory"
-        else ParquetSnapshotStorage(spark, str(tmp_path / f"idx_{backend}"))
-    )
+    if backend == "memory":
+        storage = MemoryStorage(spark)
+    elif backend == "duckdb":
+        storage = DuckDBStorage(spark, str(tmp_path / "idx.duckdb"))
+    else:
+        storage = ParquetSnapshotStorage(spark, str(tmp_path / f"idx_{backend}"))
     eng = SparkSearchEngine(spark, make_test_schema(), storage=storage)
     eng.add_document(
         {"_id": 1, "title": "Cat animal", "text": "Meow world! This is a PHP search engine."}
@@ -51,3 +57,21 @@ def test_truncate_per_backend(spark, tmp_path, backend):
     eng = _make_engine(spark, tmp_path, backend)
     eng.truncate()
     assert eng.search("world") == []
+
+
+@pytest.mark.parametrize("backend", ["parquet_snapshot", "duckdb"])
+def test_persistent_backends_survive_reopen(spark, tmp_path, backend):
+    """A new engine over the same storage location sees the committed
+    index (the reference's DbalStorage persistence property)."""
+    _make_engine(spark, tmp_path, backend)
+    if backend == "duckdb":
+        storage = DuckDBStorage(spark, str(tmp_path / "idx.duckdb"))
+    else:
+        storage = ParquetSnapshotStorage(spark, str(tmp_path / f"idx_{backend}"))
+    eng2 = SparkSearchEngine(spark, make_test_schema(), storage=storage)
+    assert {r.doc_id for r in eng2.search("search engine")} == {1, 3}
+    # and keeps accepting transactional upserts
+    eng2.add_document({"_id": 1, "title": "Cat2", "text": "Purr only."})
+    eng2.flush()
+    assert {r.doc_id for r in eng2.search("meow")} == set()
+    assert {r.doc_id for r in eng2.search("purr")} == {1}
