@@ -83,6 +83,10 @@ def fulltext_candidates(
         return spark.createDataFrame([], "doc_id long")
     fp = postings.where(F.col("field") == field)
     if n == 1:
+        # single-token phrase: both sides may extend, so the only index
+        # condition is term CONTAINS t — an O(|dictionary|) scan of the
+        # term column (never the corpus; an infix n-gram index over terms
+        # would make it O(matching grams) if this ever dominates)
         t = analyzed_terms[0][0]
         return fp.where(F.col("term").contains(t)).select("doc_id").distinct()
     base = analyzed_terms[0][1]
