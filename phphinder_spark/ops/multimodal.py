@@ -1,16 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
 
-Real kernels (pure numpy, no external codecs needed):
+Real kernels (pure numpy/stdlib, no external codecs needed):
 - BMP (24-bit uncompressed BI_RGB) decode/encode — ``decode_bmp``.
+- PNG (8-bit truecolor, non-interlaced; RGB/RGBA) decode/encode —
+  ``decode_png`` (stdlib zlib inflate + numpy scanline unfiltering, all
+  five filter types).
 - WAV (RIFF PCM 16-bit) decode/encode — ``decode_wav``.
 - Image features: per-channel mean/std + 2x2 luma block means + quantiles.
 - Audio features: RMS, zero-crossing rate, 8 FFT band energies.
 
-Still stubbed (honestly requires external codecs): compressed images
-(PNG/JPEG) and video containers (MP4) — ``decode_image`` raises
-``NotImplementedError`` for those magics; video rows get metadata-only
-features and a real frame-sampling *plan* (``sample_frames``).
+Still stubbed (honestly requires external codecs): JPEG and video
+containers (MP4) — ``decode_image`` raises ``NotImplementedError`` for
+those magics; video rows get metadata-only features and a real
+frame-sampling *plan* (``sample_frames``).
 
 Everything Spark-side — schema, batching, partitioning, UDF signatures —
 is real: swapping in PIL/ffmpeg is a per-format dispatch entry.
@@ -143,20 +146,125 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+# --------------------------------------------------------------- PNG codec
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) -> PNG bytes (8-bit truecolor, filter 0 rows,
+    one zlib IDAT). Pure stdlib zlib + struct."""
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx3 uint8 (RGB). Pure stdlib zlib + numpy: parses
+    IHDR/IDAT/IEND, inflates, and undoes the five scanline filters
+    (None/Sub/Up/Average/Paeth). Supports non-interlaced 8-bit truecolor
+    (RGB) and truecolor+alpha (alpha dropped) — the shapes this pipeline
+    emits; palette/grayscale/16-bit/interlaced raise NotImplementedError."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit truecolor PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    nch = 3 if color_type == 2 else 4
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, nch)
+    return img[:, :, :3].copy()
+
+
 # ------------------------------------------------------------ dispatchers
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8 by magic-byte dispatch.
-    BMP is decoded natively; compressed formats need external codecs."""
-    if payload is None or len(payload) < 2:
+    BMP and PNG (8-bit truecolor) are decoded natively (pure numpy +
+    stdlib zlib); JPEG still needs an external codec."""
+    if payload is None or len(payload) < 8:
         raise ValueError("empty image payload")
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image decoding (PNG/JPEG) requires an image codec "
-        "(e.g. PIL) not available in this environment; BMP is decoded "
-        "natively"
+        "JPEG decoding requires an image codec (e.g. PIL) not available "
+        "in this environment; BMP and PNG are decoded natively"
     )
 
 
@@ -266,19 +374,21 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
-    """Deterministic media rows with REAL payloads: 8x8 BMP images and
-    0.1s 16kHz WAV tones (seed-derived pixels/frequencies); video rows
-    keep opaque bytes (container decode is stubbed). Shared by the Spark
-    generator and the committed parquet fixture writer
-    (scripts/make_media_fixture.py) so the DuckDB oracle sees the exact
-    same payload bytes."""
+    """Deterministic media rows with REAL payloads: 8x8 BMP and PNG
+    images (alternating) and 0.1s 16kHz WAV tones (seed-derived
+    pixels/frequencies); video rows keep opaque bytes (container decode
+    is stubbed). Shared by the Spark generator and the committed parquet
+    fixture writer (scripts/make_media_fixture.py) so the DuckDB oracle
+    sees the exact same payload bytes."""
     rows = []
     for i in range(n):
         digest = hashlib.sha256(f"{seed}:{i}".encode()).digest()
         kind = ["image", "audio", "video"][i % 3]
         rng = np.random.RandomState(np.frombuffer(digest[:4], dtype=np.uint32)[0])
         if kind == "image":
-            payload = encode_bmp(rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8))
+            img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            # alternate codecs so both native decoders run in the pipeline
+            payload = encode_bmp(img) if (i // 3) % 2 == 0 else encode_png(img)
             w = h = 8
             dur = None
         elif kind == "audio":
@@ -292,17 +402,11 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
             payload = digest * 4
             w = h = None
             dur = 5000
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                w,
-                h,
-                dur,
-            )
-        )
+        if kind == "image":
+            mime = "image/png" if payload[:2] != b"BM" else "image/bmp"
+        else:
+            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
+        rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return rows
 
 

@@ -325,6 +325,11 @@ def test_multimodal_pipeline(spark):
     # deterministic across reruns
     again = multimodal.extract_features(media)
     assert feats.orderBy("media_id").collect() == again.orderBy("media_id").collect()
+    # every image row (BMP and PNG alike) decodes for REAL: the
+    # undecodable-payload fallback emits a negative marker vector, and
+    # channel means of a decoded image are >= 0
+    for r in feats.where("kind = 'image'").collect():
+        assert r["features"][0] >= 0.0, r["media_id"]
 
 
 def test_bmp_roundtrip():
@@ -335,6 +340,102 @@ def test_bmp_roundtrip():
         img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
         out = multimodal.decode_bmp(multimodal.encode_bmp(img))
         assert (out == img).all(), (h, w)
+
+
+def test_png_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for shape in [(8, 8, 3), (5, 7, 3), (1, 1, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        out = multimodal.decode_png(multimodal.encode_png(img))
+        assert np.array_equal(out, img), shape
+
+
+def test_png_decode_all_filter_types():
+    """The decoder must undo every scanline filter the spec defines
+    (our encoder only emits filter 0, so filter the rows here per spec:
+    Sub/Up/Average/Paeth are defined w.r.t. the RECONSTRUCTED bytes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    h, w, nch = img.shape
+    stride = w * nch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    for ftype in range(5):
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            cur = img[y].reshape(-1).astype(np.int32)
+            line = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                if ftype == 0:
+                    line[x] = cur[x]
+                elif ftype == 1:
+                    line[x] = (cur[x] - a) % 256
+                elif ftype == 2:
+                    line[x] = (cur[x] - b) % 256
+                elif ftype == 3:
+                    line[x] = (cur[x] - (a + b) // 2) % 256
+                else:
+                    line[x] = (cur[x] - paeth(a, b, c)) % 256
+            raw.append(ftype)
+            raw.extend(line.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        out = multimodal.decode_png(payload)
+        assert np.array_equal(out, img), f"filter {ftype}"
+
+
+def test_png_rgba_alpha_dropped():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    h, w, _ = rgba.shape
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(payload)
+    assert np.array_equal(out, rgba[:, :, :3])
 
 
 def test_wav_roundtrip_and_features():
