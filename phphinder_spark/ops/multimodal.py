@@ -360,6 +360,56 @@ def extract_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
     return media.mapInPandas(batches, _FEATURES_SCHEMA)
 
 
+def resize_image_array(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure numpy index maps)."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, out_format: str = "png"
+) -> DataFrame:
+    """Batch image resize over binary payloads (the brief's resize stage):
+    decode (BMP/PNG native) -> nearest-neighbor numpy resize -> re-encode.
+    mapInPandas, Arrow batches, schema-stable; undecodable rows pass
+    through with ``resized = false`` instead of failing the batch (same
+    degradation contract as ``extract_features``)."""
+    if out_format not in ("png", "bmp"):
+        raise ValueError(f"out_format must be 'png' or 'bmp', got {out_format!r}")
+    encode = encode_png if out_format == "png" else encode_bmp
+    mime = f"image/{out_format}"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload or b"")
+                if row.kind != "image":
+                    out.append((row.media_id, row.kind, payload, row.mime,
+                                row.width, row.height, False))
+                    continue
+                try:
+                    img = resize_image_array(decode_image(payload), width, height)
+                    out.append((row.media_id, row.kind, encode(img), mime,
+                                width, height, True))
+                except (NotImplementedError, ValueError):
+                    out.append((row.media_id, row.kind, payload, row.mime,
+                                row.width, row.height, False))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "payload", "mime", "width",
+                         "height", "resized"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, resized boolean",
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (pure plan — ``sequence`` + explode, JVM-side), with the

@@ -332,6 +332,26 @@ def test_multimodal_pipeline(spark):
         assert r["features"][0] >= 0.0, r["media_id"]
 
 
+def test_resize_images_pipeline(spark):
+    import numpy as np
+
+    media = multimodal.synthetic_media(spark, 12)
+    resized = multimodal.resize_images(media, 4, 4).cache()
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            assert r["resized"] and r["width"] == 4 and r["height"] == 4
+            out = multimodal.decode_png(bytes(r["payload"]))
+            assert out.shape == (4, 4, 3)
+        else:
+            assert not r["resized"]  # non-images pass through untouched
+    # nearest-neighbor correctness on a known image
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    small = multimodal.resize_image_array(img, 4, 4)
+    assert np.array_equal(small, img[::2, ::2])
+
+
 def test_bmp_roundtrip():
     import numpy as np
 
