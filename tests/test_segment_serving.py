@@ -107,6 +107,38 @@ def test_segment_find_docs_by_index_equals_memory(served):
     assert mem.find_docs_by_index("function") == seg.find_docs_by_index("function")
 
 
+def test_segment_serving_with_stemmed_schema_and_shadow(spark, tmp_path):
+    """Non-faithful (stemmed) analyzer end-to-end through the cold path:
+    the <field>#raw shadow postings travel through the segment store and
+    the phrase prefilter finds them there — uncompressed postings deleted."""
+    from phphinder_spark.analysis import Analyzer
+    from phphinder_spark.schema import IS_FULLTEXT, IS_INDEXED, IS_STORED, SearchSchema
+
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+        analyzer=Analyzer.default("en"),
+        name="stemmed_serve",
+    )
+    rows = [(i, f"the quick spark table number{i} runs fast") for i in range(40)]
+    rows += [(100 + i, f"unrelated content piece {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out_dir = str(tmp_path / "sidx")
+    build_resumable_index(spark, df, schema, out_dir, n_chunks=2)
+
+    mem = SparkSearchEngine(spark, schema)
+    mem.index_dataframe(spark.read.parquet(f"{out_dir}/docs"))
+
+    shutil.rmtree(os.path.join(out_dir, "postings"))
+    seg = SparkSearchEngine.from_index_dir(spark, out_dir, schema, serve="segments")
+
+    for query in ['"spark table"', "spark", "runs", '"quick spark"']:
+        a = sorted(r["doc_id"] for r in mem.search_df(query).collect())
+        b = sorted(r["doc_id"] for r in seg.search_df(query).collect())
+        assert a == b, query
+    assert seg._shadow_available("text")  # probed on SEGMENT rows
+
+
 def test_segment_serving_plan_reads_segment_store_only(served):
     """The term-leaf plan must scan the segment store parquet (pushed
     field/term filters) — the postings dir is deleted, so this doubles as
