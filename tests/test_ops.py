@@ -483,9 +483,30 @@ def test_image_features_real_decode():
     assert abs(vec[3]) < 1e-9  # zero std
 
 
-def test_decode_image_rejects_compressed():
+def test_decode_image_rejects_jpeg_and_malformed_png():
+    # JPEG is the remaining externally-coded stub
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"0" * 64)
+    # PNG decodes natively now; a truncated/garbage body is a ValueError
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"0" * 64)
+    # unsupported PNG shapes (e.g. palette) fail explicitly, not silently
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    palette_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(palette_png)
 
 
 def test_sample_frames_plan(spark):
