@@ -1,0 +1,71 @@
+"""Training-data-pipeline tour: dedup, similarity search, text analysis
+and multimodal stages over the driver-provided tables.
+
+Run:  python examples/pipeline_ops.py  [sf_dir]    (default sf0.001)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import SparkSession, functions as F
+
+from phphinder_spark.ops import dedup, multimodal, similarity, textstats
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("pipeline-ops-tour")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+    # ---- dedup family
+    print("exact dup groups:",
+          dedup.exact_duplicates(docs).where("is_dup").count())
+    print("minhash-LSH near-dup pairs (j>=0.6):",
+          dedup.minhash_lsh_pairs(docs, threshold=0.6).count())
+    print("simhash pairs (hamming<=6):",
+          dedup.simhash_pairs(docs, max_hamming=6).count())
+    print("3-gram jaccard pairs (j>=0.5):",
+          dedup.jaccard_pairs(docs, threshold=0.5, shingle_k=3).count())
+
+    # ---- similarity search
+    queries = (emb.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    print("exact cosine top-3:",
+          similarity.cosine_topk(emb, queries, k=3).count())
+    print("SRP-LSH top-3:",
+          similarity.srp_lsh_topk(emb, queries, k=3).count())
+    print("IVF top-3:",
+          similarity.ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=4).count())
+
+    # ---- text analysis
+    textstats.token_counts(docs).show(3)
+    textstats.quality_scores(docs).show(3)
+    textstats.language_id(docs).groupBy("lang_pred").count().show()
+    textstats.bpe_token_estimate(docs).agg(F.sum("n_pieces")).show()
+
+    # ---- multimodal: decode -> features -> resize
+    media = multimodal.synthetic_media(spark, 16)
+    multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes"
+    ).show(6)
+    multimodal.resize_images(media, 4, 4).where("resized").select(
+        "media_id", "mime", "width", "height"
+    ).show(3)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
