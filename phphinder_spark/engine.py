@@ -223,6 +223,12 @@ class SparkSearchEngine:
         ).cache()
         self._dict_size = -1
         self._shadow_ok = {}
+        # a flush hands ownership to the storage: the persisted segment
+        # store no longer reflects the index, so postings access must stop
+        # routing through the (now stale) _segments_df
+        self._serve = "postings"
+        self._segments_df = None
+        self._index_dir = None
 
     def truncate(self) -> None:
         """Drop the index (reference Storage::truncate,
@@ -238,6 +244,9 @@ class SparkSearchEngine:
         self._max_id = 0
         self._dict_size = -1
         self._shadow_ok = {}
+        self._serve = "postings"
+        self._segments_df = None
+        self._index_dir = None
 
     def index_dataframe(self, df: DataFrame) -> None:
         """Bulk build (the scale path). ``df`` must carry ``doc_id``.
@@ -259,6 +268,9 @@ class SparkSearchEngine:
         self._max_id = -1
         self._dict_size = -1
         self._shadow_ok = {}
+        self._serve = "postings"
+        self._segments_df = None
+        self._index_dir = None
 
     def _ensure_max_id(self) -> None:
         if self._max_id < 0 and self.index is not None:
@@ -338,6 +350,12 @@ class SparkSearchEngine:
             raise ValueError(f"serve must be 'postings' or 'segments', got {serve!r}")
         eng = cls(spark, schema)
         docs = spark.read.parquet(f"{out_dir}/docs")
+        # persisted docs carry layout artifacts (content_sha256 audit
+        # column, corpus columns outside the schema, batch_id) — the
+        # engine's contract is doc_id + declared fields, same projection
+        # as build_index; keeping extras breaks the flush MERGE union
+        keep = ["doc_id"] + [f for f in schema.fields if f in docs.columns]
+        docs = docs.select(*keep)
         if serve == "postings":
             postings = spark.read.parquet(f"{out_dir}/postings")
             eng.index = InvertedIndex(schema, docs, postings)

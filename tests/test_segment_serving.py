@@ -139,6 +139,34 @@ def test_segment_serving_with_stemmed_schema_and_shadow(spark, tmp_path):
     assert seg._shadow_available("text")  # probed on SEGMENT rows
 
 
+def test_flush_into_segments_served_engine_demotes_to_storage(spark, tmp_path):
+    """Flushing new docs into a segments-served engine hands ownership to
+    the storage: queries must see the new docs (the stale _segments_df
+    must stop serving — regression for a self-review find)."""
+    from phphinder_spark.analysis import Analyzer
+    from phphinder_spark.schema import IS_FULLTEXT, IS_INDEXED, IS_STORED, SearchSchema
+
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+        analyzer=Analyzer.lowercase_only(),
+        name="flush_serve",
+    )
+    df = spark.createDataFrame(
+        [(i, f"base document {i} spark") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out_dir = str(tmp_path / "fidx")
+    build_resumable_index(spark, df, schema, out_dir, n_chunks=2)
+    eng = SparkSearchEngine.from_index_dir(spark, out_dir, schema, serve="segments")
+    assert eng.search_df("spark").count() == 10
+
+    eng.add_document({"text": "freshly flushed zebra document"})
+    eng.flush()
+    assert eng._serve == "postings"
+    assert eng.search_df("zebra").count() == 1
+    assert eng.search_df("spark").count() == 10  # old docs carried over
+
+
 def test_segment_serving_plan_reads_segment_store_only(served):
     """The term-leaf plan must scan the segment store parquet (pushed
     field/term filters) — the postings dir is deleted, so this doubles as
