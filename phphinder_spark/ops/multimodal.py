@@ -43,6 +43,24 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+
+def _malformed_as_valueerror(fn):
+    """Decoder contract: malformed payloads raise ValueError (or
+    NotImplementedError for unsupported-but-valid formats) — NEVER
+    struct.error / zlib.error / IndexError, which would escape the
+    per-row degradation handlers and fail a whole Arrow batch."""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, zlib.error, IndexError) as e:
+            raise ValueError(f"malformed payload: {e}") from e
+
+    return wrapped
+
 _FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes long, sha256 string, "
     "features array<float>"
@@ -69,6 +87,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + b"".join(rows)
 
 
+@_malformed_as_valueerror
 def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit uncompressed BMP bytes -> HxWx3 uint8 (RGB). Pure numpy."""
     if payload[:2] != b"BM":
@@ -115,6 +134,7 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     )
 
 
+@_malformed_as_valueerror
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM 16-bit bytes -> (mono int16 samples, sample_rate).
     Multi-channel input is averaged to mono. Pure numpy."""
@@ -176,6 +196,7 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+@_malformed_as_valueerror
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> HxWx3 uint8 (RGB). Pure stdlib zlib + numpy: parses
     IHDR/IDAT/IEND, inflates, and undoes the five scanline filters

@@ -483,6 +483,31 @@ def test_image_features_real_decode():
     assert abs(vec[3]) < 1e-9  # zero std
 
 
+def test_decoder_error_contract_under_truncation_fuzz():
+    """Malformed payloads must raise ONLY ValueError/NotImplementedError —
+    the two types the per-row degradation handlers catch; a leaked
+    struct.error/zlib.error would fail a whole Arrow batch (regression:
+    truncated PNG used to leak zlib.error)."""
+    import random
+
+    import numpy as np
+
+    valid = [
+        multimodal.encode_png(np.zeros((4, 4, 3), dtype="uint8")),
+        multimodal.encode_bmp(np.zeros((4, 4, 3), dtype="uint8")),
+        multimodal.encode_wav(np.zeros(100, dtype="<i2")),
+    ]
+    rng = random.Random(1)
+    for base in valid:
+        for cut in range(0, len(base), max(1, len(base) // 17)):
+            payload = base[:cut] + bytes(rng.randrange(256) for _ in range(4))
+            for fn in (multimodal.decode_image, multimodal.decode_wav):
+                try:
+                    fn(payload)
+                except (NotImplementedError, ValueError):
+                    pass
+
+
 def test_decode_image_rejects_jpeg_and_malformed_png():
     # JPEG is the remaining externally-coded stub
     with pytest.raises(NotImplementedError):
