@@ -99,16 +99,22 @@ def _parse_varints_np(payload: bytes):
     return np.add.reduceat(contrib, starts)
 
 
-def decode_posting_group_np(payload: bytes, df: int):
+def decode_posting_group_np(payload: bytes, df: int, with_positions: bool = True):
     """Vectorized inverse of ``encode_posting_group`` (same output as
     ``decode_posting_group``, asserted in tests). Per-byte parsing and
     the per-doc position cumsums are all segmented numpy ops; python
-    touches only one O(df) header walk and list slicing."""
+    touches only one O(df) header walk and list slicing.
+
+    ``with_positions=False`` skips that O(df) python walk entirely and
+    returns empty position lists — the scoring paths (BM25) only need
+    (doc_id, tf), and positions usually dominate the payload."""
     import numpy as np
 
     vals = _parse_varints_np(payload)
     doc_ids = np.cumsum(vals[:df]).tolist()
     tfs = vals[df : 2 * df].tolist()
+    if not with_positions:
+        return doc_ids, tfs, [[] for _ in range(df)]
     tail_np = vals[2 * df :]
     tail = tail_np.tolist()
     # header walk: counts + header byte positions (O(df), no slicing)
@@ -245,15 +251,18 @@ def encode_segments(
     return arranged.mapInPandas(encode, SEGMENT_SCHEMA)
 
 
-def decode_segments(segments: DataFrame) -> DataFrame:
-    """segment rows -> postings (inverse of encode_segments)."""
+def decode_segments(segments: DataFrame, with_positions: bool = True) -> DataFrame:
+    """segment rows -> postings (inverse of encode_segments).
+
+    ``with_positions=False`` emits empty position arrays (schema-stable)
+    and skips the per-doc position parse — use for scoring-only reads."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 doc_ids, tfs, positions = decode_posting_group_np(
-                    bytes(row.payload), int(row.df)
+                    bytes(row.payload), int(row.df), with_positions
                 )
                 for d, t, p in zip(doc_ids, tfs, positions):
                     out.append((row.field, row.term, d, t, p))
@@ -307,7 +316,8 @@ def segment_bm25_topk(
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).where(
         (F.col("field") == field) & F.col("term").isin([str(t) for t in terms])
     )
-    postings = decode_segments(seg)
+    # scoring needs only (doc_id, tf): skip the per-doc position parse
+    postings = decode_segments(seg, with_positions=False)
     dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary")).where(
         (F.col("field") == field) & F.col("term").isin([str(t) for t in terms])
     )
@@ -441,7 +451,7 @@ def segment_bm25_topk_blockmax(
             *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
         )
         return (
-            decode_segments(seg_rows)
+            decode_segments(seg_rows, with_positions=False)
             .join(doclens.select("doc_id", "dl"), "doc_id")
             .withColumn(
                 "contrib",

@@ -40,6 +40,19 @@ def test_varint_roundtrip_unit():
     assert d == doc_ids and t == tfs and p == poss
 
 
+def test_decode_without_positions_matches_doc_tf(spark, postings):
+    """Scoring-path decode (with_positions=False) must agree on (field,
+    term, doc_id, tf) with the full decode and emit empty positions."""
+    segments = encode_segments(postings.limit(2000), chunk_span=256)
+    full = decode_segments(segments)
+    lean = decode_segments(segments, with_positions=False)
+    a = sorted((r["field"], r["term"], r["doc_id"], r["tf"]) for r in full.collect())
+    lrows = lean.collect()
+    b = sorted((r["field"], r["term"], r["doc_id"], r["tf"]) for r in lrows)
+    assert a == b
+    assert all(list(r["positions"]) == [] for r in lrows)
+
+
 def test_segment_roundtrip_and_compression(spark, postings):
     segments = encode_segments(postings, chunk_span=256).cache()
     back = decode_segments(segments)
