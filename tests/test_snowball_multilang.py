@@ -239,6 +239,31 @@ def test_russian_stemmer(word, expected):
     assert stem_ru(word) == expected
 
 
+def test_all_stemmers_crash_free_on_fuzz_inputs():
+    """Every stemmer must be total over arbitrary unicode tokens — a crash
+    inside the Arrow-batched analyzer UDF would fail a whole build batch."""
+    import random
+
+    langs = ["en", "de", "es", "fr", "pt", "it", "nl", "da", "no", "sv", "ru"]
+    stemmers = {lang: StemmerTransformer(lang) for lang in langs}
+    rng = random.Random(3)
+    alphabets = [
+        "abcdefghijklmnopqrstuvwxyz",
+        "àáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ",
+        "абвгдеёжзийклмнопрстуфхцчшщъыьэюя",
+        "ßœłđžčš",
+        "0123456789_",
+    ]
+    cases = ["", "a", "y", "ё", "ß", "ã", "õ", "ñ", "'", "q", "--", "ь", "нн"]
+    for _ in range(1500):
+        alpha = rng.choice(alphabets)
+        cases.append("".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12))))
+    for lang, st in stemmers.items():
+        for w in cases:
+            out = st.apply(w)
+            assert out is None or isinstance(out, str), (lang, w)
+
+
 def test_stemmer_transformer_dispatch():
     assert StemmerTransformer("de").apply("katzen") == "katz"
     assert StemmerTransformer("es").apply("canciones") == "cancion"
