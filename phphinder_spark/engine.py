@@ -392,26 +392,34 @@ class SparkSearchEngine:
 
     # ----------------------------------------------------- postings access
 
-    def _postings_where(self, cond: F.Column) -> DataFrame:
+    def _postings_where(
+        self, cond: F.Column, with_positions: bool = False
+    ) -> DataFrame:
         """Postings rows matching ``cond``. ``cond`` must reference only
         the (field, term) columns so that in segment-serving mode it can
         be evaluated on SEGMENT rows — pushed into the sorted parquet scan
-        — before any payload is decoded."""
+        — before any payload is decoded. Only the PHRASE prefilter needs
+        ``with_positions``; term/prefix/typo/BM25 leaves decode doc+tf
+        only (the positions parse is the remaining per-row Python cost)."""
         if self._serve == "segments":
             from phphinder_spark.index.segments import decode_segments
 
-            return decode_segments(self._segments_df.where(cond))
+            return decode_segments(
+                self._segments_df.where(cond), with_positions=with_positions
+            )
         return self.index.postings.where(cond)
 
     def _postings_for_terms(self, cand: DataFrame) -> DataFrame:
         """Postings for a bounded (field, term) candidate frame — the
         candidates broadcast-join against segment rows (decode only
-        matching payloads) or against the in-memory postings."""
+        matching payloads, doc+tf only) or against the in-memory
+        postings."""
         if self._serve == "segments":
             from phphinder_spark.index.segments import decode_segments
 
             return decode_segments(
-                self._segments_df.join(F.broadcast(cand), ["field", "term"])
+                self._segments_df.join(F.broadcast(cand), ["field", "term"]),
+                with_positions=False,
             )
         return self.index.postings.join(F.broadcast(cand), ["field", "term"])
 
@@ -575,7 +583,9 @@ class SparkSearchEngine:
             mids = [t for t, _ in analyzed[1:-1]]
             if mids:
                 cond = cond | F.col("term").isin(mids)
-        return self._postings_where((F.col("field") == label) & cond)
+        return self._postings_where(
+            (F.col("field") == label) & cond, with_positions=True
+        )
 
     def _leaf_fulltext(self, q: FullTextQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
         if q.field == ANY_FIELD:
