@@ -518,6 +518,20 @@ def segment_bm25_topk_blockmax(
     seed_scores = exact_scores(
         seg.where(F.col("chunk").isin(seed_chunks))
     )
+    if len(seed_chunks) == len(chunk_bound):
+        # the θ-seed already touches every chunk (typical for a needle
+        # term paired with spread terms on an unclustered layout): its
+        # exact scores ARE the exhaustive result — skip the bound and
+        # survivor passes outright
+        topk = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        metrics = {
+            "theta": float("-inf"),
+            "chunks_total": len(chunk_bound),
+            "chunks_decoded": len(chunk_bound),
+            "chunk_skip_fraction": 0.0,
+            "seed_covered_all": True,
+        }
+        return topk, metrics
     kth = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = kth[-1]["score"] if len(kth) >= k else float("-inf")
 
