@@ -49,6 +49,14 @@ _MATCH_SCHEMA = "doc_id long, qvalue string, field string, seq long"
 # extra join job dominates until the linear scan term catches up)
 _TYPO_AUTO_DICT_THRESHOLD = 150_000
 
+# phrase_strategy='auto' crossover: below this many docs a single contains
+# scan over the CACHED stored corpus beats the positional candidate+verify
+# plan (3 jobs vs 1 — the same toy-scale scheduler tax the typo/simhash/BM25
+# autos gate around; measured at sf0.1's 5k docs: scan 0.67 s vs index 2.0 s,
+# crossing near ~10^5 docs on local[32] — see BENCH.md). Segment-serving mode
+# ALWAYS prefilters: its contract is never scanning the stored corpus.
+_PHRASE_AUTO_MIN_DOCS = 100_000
+
 
 @dataclass
 class Result:
@@ -87,6 +95,7 @@ class SparkSearchEngine:
         schema: SearchSchema,
         typo_strategy: str = "auto",
         storage=None,
+        phrase_strategy: str = "auto",
     ):
         from phphinder_spark.index.storage import MemoryStorage
 
@@ -98,6 +107,12 @@ class SparkSearchEngine:
                 f"got {typo_strategy!r}"
             )
         self.typo_strategy = typo_strategy
+        if phrase_strategy not in ("auto", "index", "scan"):
+            raise ValueError(
+                "phrase_strategy must be 'auto', 'index' or 'scan', "
+                f"got {phrase_strategy!r}"
+            )
+        self.phrase_strategy = phrase_strategy
         # transactional owner of (docs, postings) — MERGE-commit seam
         # (index/storage.py: MemoryStorage | ParquetSnapshotStorage |
         # IcebergStorage), mirroring the reference Storage SPI
@@ -306,7 +321,6 @@ class SparkSearchEngine:
         stats = self.index.stats()
         from phphinder_spark.scoring import bm25_topk_batch
 
-        post_src = self.index.postings
         if self._serve == "segments":
             # decode only the union of the batch's query terms' segments;
             # their df values are unchanged by this prefilter
@@ -314,6 +328,8 @@ class SparkSearchEngine:
             post_src = self._postings_where(
                 (F.col("field") == field) & F.col("term").isin(all_terms)
             )
+        else:
+            post_src = self.index.postings
         return bm25_topk_batch(
             post_src, self.index.doclens, qmap, field,
             stats["n_docs"], stats["avgdl"].get(field, 1.0), k, k1, b,
@@ -368,8 +384,17 @@ class SparkSearchEngine:
         segments = spark.read.parquet(f"{out_dir}/segments")
         # full-decode view: ONLY the correctness fallback for access paths
         # not routed through the segment helpers (none in the query engine;
-        # kept so index.postings stays a valid DataFrame)
+        # kept so index.postings stays a valid DataFrame). The guard makes
+        # the no-full-decode invariant structural: any future code touching
+        # index.postings while segment-serving warns loudly instead of
+        # silently decoding the whole store.
         idx = InvertedIndex(schema, docs, decode_segments(segments))
+        idx._postings_guard = (
+            "index.postings accessed while serving from the compressed "
+            "segment store: this DataFrame decodes EVERY segment payload. "
+            "Query paths must route through SparkSearchEngine._postings_where"
+            " / _postings_for_terms (term/field pushdown before decode)."
+        )
         idx.doclens = spark.read.parquet(f"{out_dir}/doclens")
         idx._dict = (
             spark.read.parquet(f"{out_dir}/dictionary")
@@ -567,6 +592,25 @@ class SparkSearchEngine:
             )
         return self._shadow_ok[field]
 
+    def _phrase_use_index(self) -> bool:
+        """Physical-path pick for the fulltext prefilter (mirrors the
+        typo/simhash/BM25 ``auto`` gates). The positional/shadow
+        candidate+verify plan is the 100x design — no stored-corpus
+        substring scan — but its 3-job shape loses to ONE contains scan
+        over the cached docs at toy scale. ``'auto'`` always prefilters in
+        segment-serving mode (the cold contract is never scanning the
+        corpus) and otherwise requires >= _PHRASE_AUTO_MIN_DOCS docs
+        (memoized index stats: a count over the cached docs frame, paid
+        once per engine)."""
+        if self.phrase_strategy == "index":
+            return True
+        if self.phrase_strategy == "scan":
+            return False
+        return (
+            self._serve == "segments"
+            or self.index.stats()["n_docs"] >= _PHRASE_AUTO_MIN_DOCS
+        )
+
     def _phrase_postings_src(self, analyzed: list[tuple[str, int]], label: str) -> DataFrame:
         """Postings source for the fulltext prefilter, pre-filtered to the
         phrase's slot term conditions (first: suffix, last: prefix,
@@ -599,9 +643,10 @@ class SparkSearchEngine:
         base_seq = ctx.next()
         docs = self.index.docs
         faithful = self._positional_faithful()
+        use_index = self._phrase_use_index()
         analyzed = (
             [(str(t), p) for t, p in self.schema.analyzer.analyze(q.value)]
-            if faithful
+            if faithful and use_index
             else []
         )
         raw_analyzed: list[tuple[str, int]] | None = None
@@ -609,7 +654,7 @@ class SparkSearchEngine:
         for f in fields:
             if f not in docs.columns:
                 continue
-            prefilterable = (
+            prefilterable = use_index and (
                 f in self.schema.indexed_fields and not self.schema.is_unique(f)
             )
             cands = None
@@ -861,7 +906,7 @@ class SparkSearchEngine:
         if t is None:
             return {f: [] for f in result_fields}
         rows = (
-            self.index.postings.where(
+            self._postings_where(
                 (F.col("term") == str(t)) & F.col("field").isin(result_fields)
             )
             .groupBy("field")

@@ -206,11 +206,23 @@ class InvertedIndex:
     def __init__(self, schema: SearchSchema, docs: DataFrame, postings: DataFrame):
         self.schema = schema
         self.docs = docs
-        self.postings = postings
+        self._postings = postings
         self.doclens = build_doclens(postings)
         self._dict = None
         self._ngram = None
         self._stats = None
+        # set by SparkSearchEngine.from_index_dir(serve="segments"): touching
+        # .postings there silently decodes the ENTIRE compressed store — the
+        # guard makes that invariant structural instead of conventional
+        self._postings_guard: str | None = None
+
+    @property
+    def postings(self) -> DataFrame:
+        if self._postings_guard is not None:
+            import warnings
+
+            warnings.warn(self._postings_guard, RuntimeWarning, stacklevel=2)
+        return self._postings
 
     @property
     def dict_df(self) -> DataFrame:
@@ -245,12 +257,12 @@ class InvertedIndex:
 
     def cache(self) -> "InvertedIndex":
         self.docs.cache()
-        self.postings.cache()
+        self._postings.cache()
         return self
 
     def unpersist(self) -> None:
         self.docs.unpersist()
-        self.postings.unpersist()
+        self._postings.unpersist()
         # derived caches materialize lazily (dict_df on demand, ngram_df
         # behind the typo path) — release them too or every flush's
         # _refresh_index leaks one cached dictionary + bigram index

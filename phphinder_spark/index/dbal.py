@@ -23,10 +23,17 @@ from __future__ import annotations
 DIALECTS = ("sqlite", "mariadb", "postgres", "duckdb")
 
 
-def _quote(value: object) -> str:
+def _quote(value: object, dialect: str = "sqlite") -> str:
     if value is None:
         return "NULL"
-    return "'" + str(value).replace("'", "''") + "'"
+    s = str(value)
+    if dialect == "mariadb":
+        # MySQL/MariaDB treat backslash as an escape character by default
+        # (unless NO_BACKSLASH_ESCAPES): a trailing backslash would swallow
+        # the closing quote. The reference delegates to the driver's
+        # quote(), which doubles both; mirror that here.
+        s = s.replace("\\", "\\\\")
+    return "'" + s.replace("'", "''") + "'"
 
 
 def upsert_batch_sql(
@@ -39,7 +46,8 @@ def upsert_batch_sql(
         raise ValueError("columns must be non-empty")
     cols = ", ".join(columns)
     values = ", ".join(
-        "(" + ", ".join(_quote(r.get(c)) for c in columns) + ")" for r in rows
+        "(" + ", ".join(_quote(r.get(c), dialect) for c in columns) + ")"
+        for r in rows
     )
     sets = ", ".join(f"{c} = excluded.{c}" for c in columns)
     if dialect == "sqlite":

@@ -14,6 +14,8 @@ Scale notes (the whole point of these designs):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -84,7 +86,7 @@ def jaccard_pairs(
         b = base.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks"), "blk")
         cand = a.join(b, "blk")
     else:
-        log_ratio = float(-__import__("math").log(threshold))
+        log_ratio = float(-math.log(threshold))
         g = F.floor(F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double")) / F.lit(log_ratio))
         a = base.select(
             F.col("id").alias("a_id"), F.col("toks").alias("a_toks"), g.alias("blk")
@@ -272,6 +274,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     scheme: str = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs with hamming <= max_hamming.
 
@@ -296,18 +299,28 @@ def simhash_pairs(
     quadratic. ``'pairs'`` keys on every chunk PAIR, squaring the bucket
     space (65,536 per combo at max_hamming=6) for a constant-factor row
     blow-up: C(h+2,2) exploded rows per doc instead of h+1 (28 vs 7 at
-    h=6). ``'auto'`` (default) counts the corpus once and picks 'pairs'
-    above 200k docs — below that the explode overhead outweighs buckets
-    that can't go quadratic anyway. Both keyings are lossless, so the
-    OUTPUT (and the DuckDB oracle) is identical either way."""
+    h=6). ``'auto'`` (default) picks 'pairs' above 200k docs — below that
+    the explode overhead outweighs buckets that can't go quadratic anyway.
+    Pass ``n_docs`` (an already-known corpus count) to make that decision
+    free; without the hint the count runs on the CACHED fingerprint frame
+    (one pass that also materializes the cache the self-join reads next —
+    never an extra scan of the upstream plan), keying single chunks of the
+    h+2 layout when small (a pair within the radius leaves >= 2 of the
+    h+2 chunks intact, so single-chunk collision still catches it). All
+    keyings are lossless, so the OUTPUT (and the DuckDB oracle) is
+    identical whichever path auto takes."""
     import hashlib
     import re
 
     if scheme not in ("auto", "single", "pairs"):
         raise ValueError(f"scheme must be 'auto', 'single' or 'pairs', got {scheme!r}")
-    if scheme == "auto":
-        scheme = "pairs" if df.count() >= _SIMHASH_PAIRS_MIN_DOCS else "single"
-    n_chunks = max_hamming + (2 if scheme == "pairs" else 1)
+    keying = scheme
+    if scheme == "auto" and n_docs is not None:
+        keying = "pairs" if n_docs >= _SIMHASH_PAIRS_MIN_DOCS else "single"
+    # chunk layout: explicit/hinted 'single' gets h+1 chunks; 'pairs' AND a
+    # deferred auto (which must hash before it can count) get h+2 — both
+    # layouts are lossless for every keying below
+    n_chunks = max_hamming + (1 if keying == "single" else 2)
     widths = simhash_chunk_widths(max_hamming, n_chunks)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
@@ -345,7 +358,11 @@ def simhash_pairs(
     hashed = df.select(
         F.col(id_col).alias("id"), sim_udf(F.col(col)).alias("s")
     ).select("id", F.col("s.sh").alias("sh"), F.col("s.chunks").alias("chunks")).cache()
-    if scheme == "pairs":
+    if keying == "auto":
+        # count the cached fingerprints, not the upstream plan: this job
+        # materializes the very cache the candidate self-join reads next
+        keying = "pairs" if hashed.count() >= _SIMHASH_PAIRS_MIN_DOCS else "single"
+    if keying == "pairs":
         # combo key: chunk i's value shifted past chunk j's width — a
         # single long, uniform across 2^(w_i + w_j) values
         combos = [

@@ -202,7 +202,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     IHDR/IDAT/IEND, inflates, and undoes the five scanline filters
     (None/Sub/Up/Average/Paeth). Supports non-interlaced 8-bit truecolor
     (RGB) and truecolor+alpha (alpha dropped) — the shapes this pipeline
-    emits; palette/grayscale/16-bit/interlaced raise NotImplementedError."""
+    emits; palette/grayscale/16-bit/interlaced raise NotImplementedError.
+
+    Performance bound: None/Up/Sub rows are fully numpy-vectorized;
+    Average/Paeth rows scan the w pixels in Python (vectorized across
+    channels) — O(H*W) interpreted steps worst-case, fine for thumbnails
+    and fixtures, not a production JPEG/PNG codec replacement."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -247,21 +252,39 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent scan
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                b = prev[x]
-                if ftype == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = prev[x - nch] if x >= nch else 0
+        elif ftype == 1:
+            # Sub: recon[x] = line[x] + recon[x-nch] — a per-channel
+            # cumulative sum mod 256, fully vectorized (real-world encoders
+            # emit Sub constantly; the old per-byte Python scan was the
+            # mapInPandas hot spot)
+            cur = (
+                line.reshape(w, nch).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).astype(np.int32).reshape(stride)
+        elif ftype in (3, 4):
+            # Average / Paeth: the left-pixel dependency forces a scan, but
+            # only over the w PIXELS with vector ops across channels —
+            # nch x fewer interpreted iterations than a per-byte loop
+            lp = line.reshape(w, nch)
+            pp = prev.reshape(w, nch)
+            px = np.zeros((w, nch), dtype=np.int32)
+            a = np.zeros(nch, dtype=np.int32)
+            if ftype == 3:
+                for x in range(w):
+                    a = (lp[x] + ((a + pp[x]) >> 1)) & 0xFF
+                    px[x] = a
+            else:
+                c = np.zeros(nch, dtype=np.int32)
+                for x in range(w):
+                    b = pp[x]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pred) & 0xFF
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    a = (lp[x] + pred) & 0xFF
+                    px[x] = a
+                    c = b
+            cur = px.reshape(stride)
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)

@@ -109,10 +109,15 @@ def ivf_topk(
     sampled-vector centroids (the standard k-means++-free initialization,
     no Lloyd iterations), chosen so the WHOLE structure replays exactly in
     ANSI SQL for the value-level DuckDB oracle; trained centroids are a
-    drop-in replacement for the ``cents`` frame. Every corpus vector is
-    assigned to its max-cosine centroid (rank-1 over a broadcast of the
-    tiny centroid table — map-side, no shuffle on the corpus); a query
-    probes its ``n_probe`` nearest cells and brute-forces only those.
+    drop-in replacement for the collected centroid table. The centroid
+    "training" step collects the tiny (n_centroids x dim) table to the
+    driver — the standard IVF coarse-quantizer shape — and every corpus
+    vector is assigned to its max-cosine centroid by a PURE PROJECTION
+    (``array_max`` over per-centroid (csim, -cid) structs built from
+    centroid literals): truly map-side, zero shuffle on the corpus (a
+    previous revision ranked a row_number window partitioned by vec_id,
+    which re-shuffled the whole corpus). A query probes its ``n_probe``
+    nearest cells and brute-forces only those.
 
     Scale: the candidate join shuffles on cid (n_centroids uniform-ish
     cells; at 100 TB pick n_centroids ~ sqrt(N) and the probed fraction
@@ -121,25 +126,43 @@ def ivf_topk(
     corpus = emb.select(
         F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("cv")
     )
-    cents = (
+    cent_rows = (
         corpus.orderBy("vec_id")
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centv"))
+        .collect()
     )
-    cdot = F.aggregate(
-        F.zip_with("cv", "centv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    if not cent_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+    # max-by-(csim, -cid): struct comparison is field-lexicographic, so
+    # array_max picks the highest round-6 cosine, ties to the LOWEST cid —
+    # the exact ordering the oracle's row_number replays
+    def _cdot(centv: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                "cv", F.array(*[F.lit(float(x)) for x in centv]), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_cdot(list(r["centv"])), 6).alias("csim"),
+                    F.lit(-int(r["cid"])).cast("long").alias("ncid"),
+                )
+                for r in cent_rows
+            ]
+        )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cid")
-    )
-    assign = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cdot, 6))
-        .withColumn("arnk", F.row_number().over(w_assign))
-        .where(F.col("arnk") == 1)
-        .select("vec_id", "cv", "cid")
+    assign = corpus.withColumn("cid", -best["ncid"]).select("vec_id", "cv", "cid")
+    cents = emb.sparkSession.createDataFrame(
+        [(int(r["cid"]), list(r["centv"])) for r in cent_rows],
+        "cid long, centv array<double>",
     )
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), _normalized(vec_col).alias("qv")

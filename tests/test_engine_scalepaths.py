@@ -39,7 +39,10 @@ def eng(spark):
         {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
         analyzer=Analyzer.lowercase_only(),
     )
-    e = SparkSearchEngine(spark, schema)
+    # pin the scale path: phrase_strategy='auto' would pick the contains
+    # scan at this toy corpus size (these tests exist to certify the INDEX
+    # path against the scan; test_phrase_auto_gate covers the auto pick)
+    e = SparkSearchEngine(spark, schema, phrase_strategy="index")
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     e.index_dataframe(df)
     return e
@@ -98,7 +101,7 @@ def stemmed_engine(spark):
         {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
         analyzer=Analyzer.default("en"),
     )
-    e = SparkSearchEngine(spark, schema)
+    e = SparkSearchEngine(spark, schema, phrase_strategy="index")
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     e.index_dataframe(df)
     return e
