@@ -59,6 +59,32 @@ def _engine(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
     return _ENGINES[sf_dir]
 
 
+# Stemmed-chain engine: the reference's DEFAULT analyzer (stopword filter ->
+# lowercase -> Porter2), previously covered only by pytest goldens. The
+# committed token->stem mapping (tests/fixtures/stem_map_en.parquet, built by
+# scripts/make_stem_fixture.py over the full testdata vocabulary) makes the
+# chain expressible as a pure-SQL join, so these entries are VALUE-level
+# oracle rows: Spark stems live in its Arrow UDFs, DuckDB replays via the
+# mapping — any divergence fails the hash. phrase_strategy='index' pins the
+# shadow-field phrase path (the 100x design) under the oracle too.
+_STEM_SCHEMA = SearchSchema(
+    {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+    analyzer=Analyzer.default("en"),
+    name="documents_stemmed",
+)
+_STEM_ENGINES: dict[str, SparkSearchEngine] = {}
+_STEM_MAP = "/root/repo/tests/fixtures/stem_map_en.parquet"
+
+
+def _stem_engine(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
+    if sf_dir not in _STEM_ENGINES:
+        eng = SparkSearchEngine(spark, _STEM_SCHEMA, phrase_strategy="index")
+        eng.index_dataframe(_documents(spark, sf_dir).select("doc_id", "text"))
+        eng.index.postings.cache().count()
+        _STEM_ENGINES[sf_dir] = eng
+    return _STEM_ENGINES[sf_dir]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for a multi-term query on sf0.001."""
     eng = _engine(spark, "/root/testdata/sf0.001")
@@ -146,6 +172,26 @@ def _q_bm25_batched(spark, sf_dir):
     return eng.search_topk_bm25_many(_BATCH_PHRASES, k=10, field="text").select(
         "query_id", "doc_id", "score"
     )
+
+
+def _q_term_stemmed(spark, sf_dir):
+    """Term search through the reference default chain: 'tables' stems to
+    'tabl' and must match every doc whose tokens stem there too."""
+    return _stem_engine(spark, sf_dir).search_df("tables").select("doc_id")
+
+
+def _q_bm25_stemmed(spark, sf_dir):
+    """BM25 over STEMMED postings/doclens (stopword drops shrink dl)."""
+    return _stem_engine(spark, sf_dir).search_topk_bm25(
+        "sparks tables merging", k=20, field="text"
+    )
+
+
+def _q_phrase_stemmed(spark, sf_dir):
+    """Phrase query under a non-faithful chain: candidates come from the
+    lowercase #raw SHADOW positional field, verify is the case-sensitive
+    substring — observable semantics equal the plain contains scan."""
+    return _stem_engine(spark, sf_dir).search_df('"spark table"').select("doc_id")
 
 
 def _q_doc_freq(spark, sf_dir):
@@ -338,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_topk_blockmax": _q_bm25_blockmax,
         "bm25_batched": _q_bm25_batched,
+        "search_term_stemmed": _q_term_stemmed,
+        "bm25_topk_stemmed": _q_bm25_stemmed,
+        "search_phrase_stemmed": _q_phrase_stemmed,
         "index_doc_freq": _q_doc_freq,
         "index_doclens": _q_doclens,
         "dedup_exact": _q_dedup_exact,
@@ -675,6 +724,47 @@ SELECT query_id, vec_id FROM (
 ) WHERE rnk <= 10
 """
 
+    # ---- stemmed-chain oracles: the committed token->stem mapping
+    # (tests/fixtures/stem_map_en.parquet) turns the reference DEFAULT
+    # analyzer (stopwords -> lowercase -> Porter2) into a pure-SQL join;
+    # query-term stems are compiled here with the SAME live transform the
+    # engine uses, so both sides agree by construction on the query and
+    # must agree by VALUE on the corpus.
+    _an = Analyzer.default("en")
+    stem_map = (
+        "(SELECT tok, stem FROM read_parquet('{p}') "
+        "WHERE stem IS NOT NULL AND stem <> '')".format(p=_STEM_MAP)
+    )
+    raw_toks = "list_filter(string_split_regex(text, '\\W+'), x -> x <> '')"
+    term_stemmed = """
+WITH raw AS (SELECT doc_id, unnest({raw}) AS tok FROM documents)
+SELECT DISTINCT doc_id FROM raw JOIN {map} m USING (tok)
+WHERE m.stem = '{stem}'
+""".format(raw=raw_toks, map=stem_map, stem=_an.transform("tables"))
+    stem_terms = ",".join(
+        f"'{_an.transform(w)}'" for w in ["sparks", "tables", "merging"]
+    )
+    bm25_stemmed = """
+WITH raw AS (SELECT doc_id, unnest({raw}) AS tok FROM documents),
+st AS (SELECT raw.doc_id, m.stem AS term FROM raw JOIN {map} m USING (tok)),
+dl AS (SELECT doc_id, count(*) AS dl FROM st GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM st
+       WHERE term IN ({terms}) GROUP BY 1,2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, score FROM (
+  SELECT tf.doc_id AS doc_id,
+         round(sum( ln(1.0 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ), 6) AS score
+  FROM tf, stats
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+) ORDER BY score DESC, doc_id LIMIT 20
+""".format(raw=raw_toks, map=stem_map, terms=stem_terms)
+
     return {
         "ann_srp": ann_srp,
         "ann_ivf": ann_ivf,
@@ -719,6 +809,13 @@ SELECT query_id, vec_id FROM (
         "bm25_topk": bm25,
         "bm25_topk_blockmax": bm25,
         "bm25_batched": bm25_batched,
+        "search_term_stemmed": term_stemmed,
+        "bm25_topk_stemmed": bm25_stemmed,
+        # stemmed phrase: shadow-prefilter + case-sensitive verify has the
+        # OBSERVABLE semantics of the plain substring scan
+        "search_phrase_stemmed": (
+            "SELECT doc_id FROM documents WHERE contains(text, 'spark table')"
+        ),
         "index_doc_freq": (
             "SELECT tok AS term, count(DISTINCT doc_id) AS df FROM ("
             f"SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents) "
