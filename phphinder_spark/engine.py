@@ -49,13 +49,16 @@ _MATCH_SCHEMA = "doc_id long, qvalue string, field string, seq long"
 # extra join job dominates until the linear scan term catches up)
 _TYPO_AUTO_DICT_THRESHOLD = 150_000
 
-# phrase_strategy='auto' crossover: below this many docs a single contains
-# scan over the CACHED stored corpus beats the positional candidate+verify
-# plan (3 jobs vs 1 — the same toy-scale scheduler tax the typo/simhash/BM25
-# autos gate around; measured at sf0.1's 5k docs: scan 0.67 s vs index 2.0 s,
-# crossing near ~10^5 docs on local[32] — see BENCH.md). Segment-serving mode
-# ALWAYS prefilters: its contract is never scanning the stored corpus.
-_PHRASE_AUTO_MIN_DOCS = 100_000
+# phrase_strategy='auto' rule (measured, scripts/phrase_crossover.py): when
+# the stored corpus is a CACHED in-memory column, one contains scan beats
+# the positional candidate+verify plan at EVERY size that fits in memory
+# (20k: 2.2 vs 4.0 s; 200k: 3.1 vs 5.6 s; 1M: 3.3 vs 8.5 s for a 3-query
+# set on local[32]) — the index path's joins can't beat scanning cached
+# bytes. The positional/shadow prefilter is the COLD-STORAGE plan: serving
+# from the segment store (or uncached parquet), where substring-scanning
+# the stored corpus means re-reading the whole text column per query — a
+# 100-TB non-starter. So 'auto' keys on the corpus's physical residence,
+# not a size threshold.
 
 
 @dataclass
@@ -595,21 +598,24 @@ class SparkSearchEngine:
     def _phrase_use_index(self) -> bool:
         """Physical-path pick for the fulltext prefilter (mirrors the
         typo/simhash/BM25 ``auto`` gates). The positional/shadow
-        candidate+verify plan is the 100x design — no stored-corpus
-        substring scan — but its 3-job shape loses to ONE contains scan
-        over the cached docs at toy scale. ``'auto'`` always prefilters in
-        segment-serving mode (the cold contract is never scanning the
-        corpus) and otherwise requires >= _PHRASE_AUTO_MIN_DOCS docs
-        (memoized index stats: a count over the cached docs frame, paid
-        once per engine)."""
+        candidate+verify plan is the cold-storage design — no stored-corpus
+        substring scan — but it loses to ONE contains scan whenever the
+        corpus is a cached in-memory column (measured at every size up to
+        1M docs — see the module-level rule comment). ``'auto'`` picks by
+        the corpus's physical residence: always prefilter when serving
+        from the segment store or uncached parquet, scan when the docs
+        frame is memory-cached."""
         if self.phrase_strategy == "index":
             return True
         if self.phrase_strategy == "scan":
             return False
-        return (
-            self._serve == "segments"
-            or self.index.stats()["n_docs"] >= _PHRASE_AUTO_MIN_DOCS
-        )
+        if self._serve == "segments":
+            return True
+        # memory mode: scan iff the stored corpus is cached in memory
+        # (index_dataframe/flush paths cache it; from_index_dir(postings)
+        # leaves docs on parquet, where the prefilter avoids re-reading
+        # the whole text column per query)
+        return not self.index.docs.storageLevel.useMemory
 
     def _phrase_postings_src(self, analyzed: list[tuple[str, int]], label: str) -> DataFrame:
         """Postings source for the fulltext prefilter, pre-filtered to the

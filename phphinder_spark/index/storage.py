@@ -24,6 +24,13 @@ Backends:
   DbalStorage analogue, src/Index/DbalStorage.php:23-192): docs/postings
   as tables in one DuckDB file, commits as single SQL transactions,
   Arrow interchange both ways.
+- ``KVStorage`` — key-value persistence over a stdlib ``dbm`` store: the
+  architectural analogue of the reference's RedisStorage
+  (src/Index/RedisStorage.php:28-234 — docs under per-id keys, posting
+  sets under per-(field,term) keys, plus a reverse doc->keys map for
+  removal). No Redis server or client exists in this sandbox; the dbm
+  file plays the remote KV server's role behind the identical key
+  protocol, closing the S6 matrix row with a 5th executable backend.
 - ``IcebergStorage`` — the real thing behind the same seam: issues
   ``MERGE INTO`` / ``DELETE`` through a configured Spark Iceberg catalog.
   This sandbox ships no Iceberg runtime jars (documented in STATUS.md), so
@@ -405,6 +412,137 @@ class DuckDBStorage(IndexStorage):
     def truncate(self) -> None:
         for t in (self.docs_table, self.postings_table):
             self.con.execute(f"DROP TABLE IF EXISTS {t}")
+
+
+class KVStorage(IndexStorage):
+    """Key-value persistence over a stdlib ``dbm`` database — the
+    reference RedisStorage's role (src/Index/RedisStorage.php:28-234)
+    behind the same Storage SPI, with the same key protocol a remote KV
+    server would serve:
+
+        doc:<id>            JSON of the stored document row
+        post:<field>\\x1f<term>   JSON {doc_id: [tf, positions]}
+        docpost:<id>        JSON list of post-keys containing this doc
+                            (the reverse map that makes doc replacement
+                            O(|doc's terms|), as the reference achieves by
+                            re-tokenizing the stored doc on update)
+        meta:docs_schema    Spark schema JSON for the docs relation
+
+    Scale note (identical to the reference's Redis backend): per-key
+    read-modify-write through one connection — an interactive/small-corpus
+    persistence choice. The SPI keeps it swappable for
+    ParquetSnapshotStorage/IcebergStorage at bulk scale. Commits are NOT
+    multi-key atomic (neither are the reference's non-MULTI Redis writes);
+    single-writer assumed."""
+
+    _SEP = "\x1f"
+
+    def __init__(self, spark: SparkSession, db_path: str):
+        import dbm
+
+        self.spark = spark
+        self._dbm = dbm
+        self.db_path = db_path
+        # touch the store so is_empty/docs() see a consistent file set
+        with dbm.open(db_path, "c"):
+            pass
+
+    def _open(self, flag: str = "r"):
+        return self._dbm.open(self.db_path, flag)
+
+    @property
+    def is_empty(self) -> bool:
+        with self._open("r") as db:
+            return b"meta:docs_schema" not in db.keys()
+
+    def docs(self) -> DataFrame:
+        from pyspark.sql import types as T
+
+        with self._open("r") as db:
+            if b"meta:docs_schema" not in db.keys():
+                raise RuntimeError("storage is empty")
+            schema = T.StructType.fromJson(json.loads(db[b"meta:docs_schema"]))
+            rows = [
+                tuple(json.loads(db[k])[f.name] for f in schema.fields)
+                for k in db.keys()
+                if k.startswith(b"doc:")
+            ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def postings(self) -> DataFrame:
+        with self._open("r") as db:
+            if b"meta:docs_schema" not in db.keys():
+                raise RuntimeError("storage is empty")
+            rows = []
+            for k in db.keys():
+                if not k.startswith(b"post:"):
+                    continue
+                field, term = k[5:].decode("utf-8").split(self._SEP, 1)
+                for doc_id, (tf, positions) in json.loads(db[k]).items():
+                    rows.append((field, term, int(doc_id), int(tf), positions))
+        return self.spark.createDataFrame(
+            rows,
+            "field string, term string, doc_id long, tf long, positions array<int>",
+        )
+
+    def commit(self, new_docs, new_postings, replaced_doc_ids):
+        doc_rows = new_docs.collect()
+        post_rows = new_postings.collect()
+        batch_ids = {int(r["doc_id"]) for r in doc_rows}
+        superseded = batch_ids | {int(i) for i in replaced_doc_ids}
+        with self._open("w") as db:
+            if b"meta:docs_schema" not in db.keys():
+                db[b"meta:docs_schema"] = json.dumps(
+                    new_docs.schema.jsonValue()
+                ).encode("utf-8")
+            # MERGE "WHEN MATCHED" arm: strip superseded docs from every
+            # posting key they appear in (via the reverse map), then drop
+            # their doc/docpost keys
+            for doc_id in sorted(superseded):
+                rk = f"docpost:{doc_id}".encode()
+                if rk not in db.keys():
+                    continue
+                sid = str(doc_id)
+                for post_key in json.loads(db[rk]):
+                    pk = post_key.encode("utf-8")
+                    if pk not in db.keys():
+                        continue
+                    entries = json.loads(db[pk])
+                    entries.pop(sid, None)
+                    if entries:
+                        db[pk] = json.dumps(entries).encode("utf-8")
+                    else:
+                        del db[pk]
+                del db[rk]
+                dk = f"doc:{doc_id}".encode()
+                if dk in db.keys():
+                    del db[dk]
+            # INSERT arm
+            for r in doc_rows:
+                d = r.asDict(recursive=True)
+                db[f"doc:{int(d['doc_id'])}".encode()] = json.dumps(
+                    d, ensure_ascii=False
+                ).encode("utf-8")
+            by_doc: dict[int, list[str]] = {}
+            for r in post_rows:
+                key = f"post:{r['field']}{self._SEP}{r['term']}"
+                pk = key.encode("utf-8")
+                entries = json.loads(db[pk]) if pk in db.keys() else {}
+                entries[str(int(r["doc_id"]))] = [
+                    int(r["tf"]),
+                    list(r["positions"] or []),
+                ]
+                db[pk] = json.dumps(entries).encode("utf-8")
+                by_doc.setdefault(int(r["doc_id"]), []).append(key)
+            for doc_id, keys in by_doc.items():
+                db[f"docpost:{doc_id}".encode()] = json.dumps(
+                    sorted(set(keys))
+                ).encode("utf-8")
+
+    def truncate(self) -> None:
+        with self._open("w") as db:
+            for k in list(db.keys()):
+                del db[k]
 
 
 class IcebergStorage(IndexStorage):

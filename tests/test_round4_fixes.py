@@ -48,7 +48,7 @@ def test_phrase_auto_picks_scan_at_toy_scale_with_identical_results(
     auto.index_dataframe(mini_docs)
     forced = SparkSearchEngine(spark, _mini_schema(), phrase_strategy="index")
     forced.index_dataframe(mini_docs)
-    assert auto._phrase_use_index() is False  # 40 docs << threshold
+    assert auto._phrase_use_index() is False  # docs are memory-cached
     assert forced._phrase_use_index() is True
     for q in ['"spark table"', '"beta doc"', '"nomatch phrase"']:
         a = sorted(r["doc_id"] for r in auto.search_df(q).collect())
@@ -75,6 +75,12 @@ def test_phrase_auto_always_indexes_in_segment_mode(spark, mini_docs, tmp_path):
 
     out_dir = str(tmp_path / "r4idx")
     build_resumable_index(spark, mini_docs, _mini_schema(), out_dir, n_chunks=2)
+    # postings-from-parquet serving also prefilters (docs NOT memory-cached:
+    # a contains scan would re-read the whole text column per query)
+    warm = SparkSearchEngine.from_index_dir(
+        spark, out_dir, _mini_schema(), serve="postings"
+    )
+    assert warm._phrase_use_index() is True
     shutil.rmtree(os.path.join(out_dir, "postings"))
     seg = SparkSearchEngine.from_index_dir(
         spark, out_dir, _mini_schema(), serve="segments"

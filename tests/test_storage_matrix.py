@@ -1,8 +1,10 @@
 """Reference-style storage data-provider matrix: the same search suite
 over each storage backend (reference runs its integration suite over
 File/Dbal/Redis storages, tests/Integration/SearchEngineTest.php:199-224;
-here: MemoryStorage, ParquetSnapshotStorage and DuckDBStorage (the
-DbalStorage analogue) — IcebergStorage needs a catalog jar absent from
+here: MemoryStorage, ParquetSnapshotStorage, DuckDBStorage (the
+DbalStorage analogue) and KVStorage (the RedisStorage analogue over a
+stdlib dbm store — no Redis server exists in this sandbox, the key
+protocol is the same) — IcebergStorage needs a catalog jar absent from
 this environment and fails fast, see STATUS.md).
 """
 
@@ -11,12 +13,13 @@ import pytest
 from phphinder_spark.engine import SparkSearchEngine
 from phphinder_spark.index.storage import (
     DuckDBStorage,
+    KVStorage,
     MemoryStorage,
     ParquetSnapshotStorage,
 )
 from phphinder_spark.schema import test_schema as make_test_schema
 
-BACKENDS = ["memory", "parquet_snapshot", "duckdb"]
+BACKENDS = ["memory", "parquet_snapshot", "duckdb", "kv"]
 
 
 def _make_engine(spark, tmp_path, backend):
@@ -24,6 +27,8 @@ def _make_engine(spark, tmp_path, backend):
         storage = MemoryStorage(spark)
     elif backend == "duckdb":
         storage = DuckDBStorage(spark, str(tmp_path / "idx.duckdb"))
+    elif backend == "kv":
+        storage = KVStorage(spark, str(tmp_path / "idx_kv"))
     else:
         storage = ParquetSnapshotStorage(spark, str(tmp_path / f"idx_{backend}"))
     eng = SparkSearchEngine(spark, make_test_schema(), storage=storage)
@@ -59,13 +64,15 @@ def test_truncate_per_backend(spark, tmp_path, backend):
     assert eng.search("world") == []
 
 
-@pytest.mark.parametrize("backend", ["parquet_snapshot", "duckdb"])
+@pytest.mark.parametrize("backend", ["parquet_snapshot", "duckdb", "kv"])
 def test_persistent_backends_survive_reopen(spark, tmp_path, backend):
     """A new engine over the same storage location sees the committed
     index (the reference's DbalStorage persistence property)."""
     _make_engine(spark, tmp_path, backend)
     if backend == "duckdb":
         storage = DuckDBStorage(spark, str(tmp_path / "idx.duckdb"))
+    elif backend == "kv":
+        storage = KVStorage(spark, str(tmp_path / "idx_kv"))
     else:
         storage = ParquetSnapshotStorage(spark, str(tmp_path / f"idx_{backend}"))
     eng2 = SparkSearchEngine(spark, make_test_schema(), storage=storage)
