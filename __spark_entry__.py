@@ -259,6 +259,15 @@ def _q_dedup_simhash(spark, sf_dir):
     ).select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup: minhash-LSH pairs -> connected components ->
+    (doc_id, cluster_id, is_dup) for the WHOLE corpus — the keep/drop
+    decision a training-data pipeline actually executes."""
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, "text", threshold=0.6)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(
         _embeddings(spark, sf_dir).withColumn(
@@ -409,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_ngram": _q_dedup_jaccard_ngram,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
@@ -615,6 +625,29 @@ FROM cand JOIN allsh sa ON sa.id = a_id JOIN allsh sb ON sb.id = b_id
 WHERE bit_count(xor(sa.sh, sb.sh)) <= 6
 """.format(toks=_TOKS)
 
+    # dedup_clusters: the SAME minhash pair SQL, closed transitively with a
+    # recursive CTE (min reachable id per node == the Spark label-propagation
+    # fixpoint), then left-joined onto the corpus for singleton clusters
+    clusters = """
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({minhash})
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+), comp AS (
+  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id <> coalesce(c.cluster_id, d.doc_id) AS is_dup
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""".format(minhash=minhash)
+
     profile_rows = ",\n    ".join(
         "('{lang}', [{words}])".format(
             lang=lang, words=",".join(f"'{w}'" for w in words)
@@ -786,6 +819,7 @@ SELECT doc_id, score FROM (
         "ann_ivf": ann_ivf,
         "dedup_embedding_srp": emb_srp,
         "dedup_minhash": minhash,
+        "dedup_clusters": clusters,
         "dedup_simhash": simhash,
         "text_langid": langid,
         "text_fingerprint": fingerprint,

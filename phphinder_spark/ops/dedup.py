@@ -386,6 +386,89 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs``, where
+    cluster_id is the MINIMUM id reachable through the undirected pair
+    graph — the canonical representative a dedup pipeline keeps.
+
+    Physical plan: iterative min-label propagation. Each round joins the
+    current labels across the edge list both ways and takes the per-node
+    min; ``localCheckpoint`` cuts the lineage every round so iteration K
+    plans against a flat scan, not K stacked joins. Rounds needed =
+    component diameter — near-dup clusters are shallow (pairs come from
+    banded LSH around a shared center), so this converges in a few rounds;
+    the alternating large-star/small-star trick (Kiveris et al.) is the
+    drop-in upgrade if 100 TB components turn out deep. Each round is two
+    shuffles keyed on uniform ids — no skew beyond component size itself.
+
+    Raises after ``max_iter`` rounds without a fixpoint (never returns a
+    half-converged labeling silently)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.groupBy("u").agg(F.min("v").alias("l")).select(
+        "u", F.least("u", "l").alias("l")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor labels: for each edge (u, v), v's current label
+        nbr = (
+            edges.join(labels.select(F.col("u").alias("v"), F.col("l").alias("nl")), "v")
+            .groupBy("u")
+            .agg(F.min("nl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least("l", F.coalesce("nl", "l")).alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.l") != F.col("o.l"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Full-corpus cluster assignment from a near-dup pair list:
+    (doc_id, cluster_id, is_dup) for EVERY row of ``df`` — docs in no pair
+    form singleton clusters; ``is_dup`` marks everything but the minimum
+    id of each cluster (the keeper). This is the operator a training-data
+    pipeline actually runs after minhash/simhash pair generation: keep
+    `where ~is_dup`, and the corpus is deduplicated transitively."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_dup", F.col("doc_id") != F.col("cluster_id"))
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -201,6 +201,43 @@ def test_ivf_empty_corpus(spark):
     assert out.count() == 0
 
 
+# ------------------------------------------------------- connected components
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain (diameter 4 — forces multiple propagation rounds),
+    a 2-cycle, and corpus singletons."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10)],
+        "a_id long, b_id long",
+    )
+    comp = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 7, 10, 11]], "doc_id long")
+    out = {
+        (r["doc_id"], r["cluster_id"], r["is_dup"])
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert (7, 7, False) in out  # singleton keeps itself
+    assert (5, 1, True) in out
+    assert (1, 1, False) in out
+    keepers = {d for d, c, dup in out if not dup}
+    assert keepers == {1, 7, 10}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_dup"])
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    )
+    assert out == [(1, 1, False), (2, 2, False)]
+
+
 # -------------------------------------------------------------------- dbal
 
 
