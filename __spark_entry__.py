@@ -365,6 +365,12 @@ def _q_sha256(spark, sf_dir):
     )
 
 
+def _q_gopher(spark, sf_dir):
+    """Gopher-rule quality filter (min_words lowered to 20 so the synthetic
+    short docs produce a pass/fail mix worth hashing)."""
+    return textstats.gopher_quality(_documents(spark, sf_dir), min_words=20)
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -427,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
+        "text_gopher_quality": _q_gopher,
         "agg_lang_stats": _q_lang_stats,
         "corpus_sha256": _q_sha256,
         "text_langid": _q_langid,
@@ -884,6 +891,32 @@ SELECT doc_id, score FROM (
             f"SELECT doc_id, len({_TOKS}) AS n_tokens, "
             f"len(list_distinct({_TOKS})) AS n_distinct FROM documents"
         ),
+        "text_gopher_quality": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\W+'), x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    round(list_reduce(list_prepend(0, list_transform(ws, x -> length(x))),
+                      (a, b) -> a + b) / greatest(len(ws), 1), 6) AS mean_word_len,
+    CAST(len(list_intersect(list_transform(ws, x -> lower(x)),
+         ['and','be','have','of','that','the','to','with'])) AS BIGINT) AS stop_hits,
+    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+          / greatest(len(ws), 1), 6) AS alpha_word_frac
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_word_frac,
+  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+  (stop_hits >= 2) AS ok_stopwords,
+  (alpha_word_frac >= 0.8) AS ok_alpha_words,
+  ((n_words >= 20 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND stop_hits >= 2 AND alpha_word_frac >= 0.8) AS gopher_pass
+FROM m
+""",
         "text_quality": (
             "SELECT doc_id, length(text) AS n_chars_calc, "
             "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "

@@ -99,6 +99,67 @@ def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 heuristics — public), the standard
+    pre-training corpus filter:
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - at least ``min_stop_hits`` DISTINCT hits from the canonical 8-word
+      stop list (the, be, to, of, and, that, have, with)
+    - fraction of words containing an alphabetic char >= min_alpha_word_frac
+
+    Returns per-doc metrics + per-rule booleans + the conjunctive
+    ``gopher_pass``. All JVM column expressions (one projection, zero
+    shuffles, codegen'd) — at 100 TB this is a map-only pass that predicate-
+    pushes nothing and prunes to two columns."""
+    words = F.filter(F.split(F.col(col), r"\W+"), lambda x: x != "")
+    n_words = F.size(words)
+    n1 = F.greatest(n_words, F.lit(1))
+    mean_len = F.round(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n1, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n1, 6
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_len = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_stop = stop_hits >= min_stop_hits
+    ok_alpha = alpha_frac >= min_alpha_word_frac
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        alpha_frac.alias("alpha_word_frac"),
+        ok_words.alias("ok_word_count"),
+        ok_len.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha_words"),
+        (ok_words & ok_len & ok_stop & ok_alpha).alias("gopher_pass"),
+    )
+
+
 def language_id(
     df: DataFrame, col: str = "text", top_n: int = 50
 ) -> DataFrame:

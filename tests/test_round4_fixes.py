@@ -238,6 +238,29 @@ def test_connected_components_empty_pairs(spark):
     assert out == [(1, 1, False), (2, 2, False)]
 
 
+# ------------------------------------------------------------- gopher rules
+
+
+def test_gopher_quality_rules(spark):
+    from phphinder_spark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over lazy dogs and cats with " * 5),
+            (2, ""),                           # empty: every rule fails
+            (3, "zzzz " * 60),                 # no stopwords, repetitive
+            (4, "1 2 3 4 5 6 7 8 9 10 " * 6),  # numeric words: alpha rule fails
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.gopher_quality(docs, min_words=20).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False and out[2]["n_words"] == 0
+    assert out[3]["ok_stopwords"] is False
+    assert out[4]["ok_alpha_words"] is False and out[4]["ok_stopwords"] is False
+
+
 # -------------------------------------------------------------------- dbal
 
 
