@@ -623,9 +623,25 @@ class SparkSearchEngine:
         middles: equality; single token: containment) so segment-serving
         decodes only matching terms' payloads. ``fulltext_candidates``
         re-applies the per-slot conditions on this superset."""
+        from phphinder_spark.index.builder import SHADOW_SUFFIX
+
         n = len(analyzed)
         if n == 1:
-            cond = F.col("term").contains(analyzed[0][0])
+            tok = analyzed[0][0]
+            if len(tok) >= 2 and not label.endswith(SHADOW_SUFFIX):
+                # infix bigram probe over the persisted n-gram term index —
+                # O(matching grams), replacing the O(|dictionary|) contains
+                # scan (r03 wart #4). Shadow fields aren't in the n-gram
+                # index (it indexes the typo dictionary) — they keep the
+                # dictionary-sized cond below; so do 1-char tokens.
+                from phphinder_spark.index.typo_ngram import (
+                    infix_candidate_terms,
+                )
+
+                cand = infix_candidate_terms(self.index.ngram_df, tok, [label])
+                # single-token candidates need doc ids only, no positions
+                return self._postings_for_terms(cand)
+            cond = F.col("term").contains(tok)
         else:
             cond = F.col("term").endswith(analyzed[0][0]) | F.col(
                 "term"

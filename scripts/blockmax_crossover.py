@@ -69,7 +69,20 @@ def main() -> None:
     corpus = generate_code_corpus(
         spark, n_docs, seed=42, partitions=128, zipf="topics"
     )
-    docs = assign_doc_ids_clustered(corpus, ["lang"], ["repo", "path", "commit"])
+    # Cluster key: (lang, xxhash(repo) % B) — NOT bare lang. Chunk skipping
+    # only needs each chunk to hold ONE topic (ids contiguous per subcluster),
+    # and bare-lang clustering makes one window partition per language:
+    # at 5M docs that is 5 single-task 1M-row windows, and every downstream
+    # stage (the pandas-UDF tokenizer included) inherits 5-way parallelism
+    # — the exact skew caveat assign_doc_ids_clustered documents. B=64
+    # subclusters per lang bounds the window partitions at ~n_docs/320
+    # rows while keeping chunk-level topic purity intact.
+    sub = corpus.withColumn(
+        "_sub", F.pmod(F.xxhash64("repo"), F.lit(64)).cast("int")
+    )
+    docs = assign_doc_ids_clustered(
+        sub, ["lang", "_sub"], ["repo", "path", "commit"]
+    ).drop("_sub").repartition(128)
     postings = build_postings(docs, code_schema()).where(
         F.col("field") == "content"
     ).cache()

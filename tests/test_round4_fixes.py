@@ -238,6 +238,42 @@ def test_connected_components_empty_pairs(spark):
     assert out == [(1, 1, False), (2, 2, False)]
 
 
+# ----------------------------------------------------- infix n-gram probe
+
+
+@pytest.mark.parametrize("phrase", ["ark", "a", "park", "zzz", "spar"])
+def test_single_token_phrase_infix_probe_equals_scan(spark, mini_docs, phrase):
+    """Forced-index single-token phrases route through the bigram infix
+    probe (len>=2) or the dictionary scan (1-char) — results must equal
+    the plain contains scan either way."""
+    idx_eng = SparkSearchEngine(spark, _mini_schema(), phrase_strategy="index")
+    idx_eng.index_dataframe(mini_docs)
+    scan_eng = SparkSearchEngine(spark, _mini_schema(), phrase_strategy="scan")
+    scan_eng.index_dataframe(mini_docs)
+    a = sorted(r["doc_id"] for r in idx_eng.search_df(f'"{phrase}"').collect())
+    b = sorted(r["doc_id"] for r in scan_eng.search_df(f'"{phrase}"').collect())
+    assert a == b, phrase
+
+
+def test_infix_candidate_terms_lossless(spark):
+    from phphinder_spark.index.typo_ngram import (
+        build_ngram_index,
+        infix_candidate_terms,
+    )
+
+    dict_df = spark.createDataFrame(
+        [("text", t) for t in
+         ["spark", "sparkle", "parka", "ark", "arc", "karaoke", "kayak"]],
+        "field string, term string",
+    )
+    idx = build_ngram_index(dict_df)
+    got = {
+        r["term"]
+        for r in infix_candidate_terms(idx, "ark", ["text"]).collect()
+    }
+    assert got == {"spark", "sparkle", "parka", "ark"}
+
+
 # ------------------------------------------------------------- gopher rules
 
 
