@@ -39,6 +39,12 @@ def main() -> None:
           dedup.simhash_pairs(docs, max_hamming=6).count())
     print("3-gram jaccard pairs (j>=0.5):",
           dedup.jaccard_pairs(docs, threshold=0.5, shingle_k=3).count())
+    # transitive keep/drop: pairs -> connected components -> one keeper
+    # per cluster (what the pipeline actually filters on)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    print("docs dropped by transitive dedup:",
+          clusters.where("is_dup").count())
 
     # ---- similarity search
     queries = (emb.orderBy("vec_id").limit(3)
@@ -55,6 +61,10 @@ def main() -> None:
     textstats.quality_scores(docs).show(3)
     textstats.language_id(docs).groupBy("lang_pred").count().show()
     textstats.bpe_token_estimate(docs).agg(F.sum("n_pieces")).show()
+    # Gopher-rule quality gate: the filter a pre-training corpus keeps
+    gq = textstats.gopher_quality(docs, min_words=20)
+    print("gopher-pass fraction:",
+          gq.where("gopher_pass").count() / max(gq.count(), 1))
 
     # ---- multimodal: decode -> features -> resize
     media = multimodal.synthetic_media(spark, 16)

@@ -133,6 +133,7 @@ def build_resumable_index(
             "n_postings": rows,
             "sec": round(took, 2),
             "docs_per_sec": round(chunk_n_docs / max(took, 1e-9), 1),
+            "postings_per_sec": round(rows / max(took, 1e-9), 1),
         }
         _save_manifest(mpath, manifest)
         done += 1
@@ -167,11 +168,24 @@ def build_resumable_index(
         r["field"]: r["avgdl"]
         for r in doclens.groupBy("field").agg(F.avg("dl").alias("avgdl")).collect()
     }
+    n_postings_total = postings.count()
+    # segment-size metrics (north_star: "metrics (docs/sec, postings/sec,
+    # segment sizes)"): store bytes on disk + per-posting density
+    seg_root = os.path.join(out_dir, "segments")
+    seg_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(seg_root)
+        for f in fs
+    )
+    n_segment_rows = segments_df.count()
     stats = {
         "n_docs": n_docs,
-        "n_postings": postings.count(),
+        "n_postings": n_postings_total,
         "avgdl": avgdl,
         "finalize_sec": round(time.time() - t1, 2),
+        "segment_store_bytes": seg_bytes,
+        "n_segment_rows": n_segment_rows,
+        "bytes_per_posting": round(seg_bytes / max(n_postings_total, 1), 3),
     }
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh, indent=2, sort_keys=True)
