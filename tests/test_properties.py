@@ -96,3 +96,104 @@ def test_multilang_analyzer_chain_total(text, lang):
     analyzer = Analyzer.default(lang)
     for term, pos in analyzer.analyze(text):
         assert term != "" and isinstance(pos, int)
+
+
+# ---- round-4 ops: pure-Python reference implementations as property oracles
+
+
+def _session():
+    """Reuse the running test session if any; else build a small one.
+    (hypothesis @given cannot take function-scoped pytest fixtures.)"""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_connected_components_equals_union_find(pairs):
+    """Spark min-label propagation == driver-side union-find on random
+    graphs (chains, cycles, multi-component, self-free)."""
+    import pytest
+
+    spark = _session()
+    if spark is None:
+        pytest.skip("no shared session")
+    from phphinder_spark.ops.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    # canonicalize: min id of each set
+    roots = {}
+    for x in sorted(expect):
+        roots.setdefault(find(x), min(find(x), x))
+    expect = {x: roots[find(x)] for x in parent}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(0, 0)][:0], "a_id long, b_id long"
+    )
+    if not pairs:
+        assert connected_components(df).count() == 0
+        return
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=110), min_size=1, max_size=8),
+        min_size=1, max_size=30, unique=True,
+    ),
+    st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=110), min_size=2, max_size=5),
+)
+@settings(max_examples=25, deadline=None)
+def test_infix_probe_equals_bruteforce_contains(terms, token):
+    """Bigram infix candidates == brute-force substring filter over the
+    dictionary, for random small-alphabet (collision-heavy) term sets."""
+    import pytest
+
+    spark = _session()
+    if spark is None:
+        pytest.skip("no shared session")
+    from phphinder_spark.index.typo_ngram import (
+        build_ngram_index,
+        infix_candidate_terms,
+    )
+
+    dict_df = spark.createDataFrame(
+        [("f", t) for t in terms], "field string, term string"
+    )
+    idx = build_ngram_index(dict_df)
+    got = {
+        r["term"] for r in infix_candidate_terms(idx, token, ["f"]).collect()
+    }
+    assert got == {t for t in terms if token in t}
