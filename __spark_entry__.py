@@ -371,6 +371,14 @@ def _q_gopher(spark, sf_dir):
     return textstats.gopher_quality(_documents(spark, sf_dir), min_words=20)
 
 
+def _q_pii(spark, sf_dir):
+    return textstats.pii_scrub(_documents(spark, sf_dir))
+
+
+def _q_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_documents(spark, sf_dir))
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -434,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "text_gopher_quality": _q_gopher,
+        "text_pii_scrub": _q_pii,
+        "text_repetition": _q_repetition,
         "agg_lang_stats": _q_lang_stats,
         "corpus_sha256": _q_sha256,
         "text_langid": _q_langid,
@@ -891,6 +901,48 @@ SELECT doc_id, score FROM (
             f"SELECT doc_id, len({_TOKS}) AS n_tokens, "
             f"len(list_distinct({_TOKS})) AS n_distinct FROM documents"
         ),
+        # PII scrub: identical lookaround-free regexes, counts taken on the
+        # progressively scrubbed text in the SAME kind order as the op
+        "text_pii_scrub": (
+            lambda e, i, p: f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{e}', '<EMAIL>', 'g'), '{i}', '<IPV4>', 'g'), '{p}', '<PHONE>', 'g')
+    AS scrubbed,
+  CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+    '{i}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+    '{e}', '<EMAIL>', 'g'), '{i}', '<IPV4>', 'g'), '{p}')) AS BIGINT)
+    AS n_phone
+FROM documents
+"""
+        )(*[pat for _, pat in textstats.PII_PATTERNS]),
+        "text_repetition": """
+WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 2 THEN
+           list_transform(range(1, len(ts)),
+                          i -> array_to_string(list_slice(ts, i, i+1), ' '))
+         ELSE [] END AS gs
+  FROM toks
+), per AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, sum(c) AS n_bigrams,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS ndup, max(c) AS top
+  FROM per GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  round(coalesce(a.ndup, 0) / greatest(coalesce(a.n_bigrams, 0), 1), 6)
+    AS dup_bigram_frac,
+  round(coalesce(a.top, 0) / greatest(coalesce(a.n_bigrams, 0), 1), 6)
+    AS top_bigram_frac
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""".format(toks=_TOKS),
         "text_gopher_quality": """
 WITH w AS (
   SELECT doc_id,

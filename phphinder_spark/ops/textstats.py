@@ -99,6 +99,90 @@ def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns restricted to the Java-regex ∩ RE2 dialect (no lookaround)
+# so Spark and the SQL oracle run the IDENTICAL expressions. Word-ish
+# boundaries are explicit character classes, not \b (RE2 supports \b but
+# Java's \b is Unicode-aware — explicit classes dodge the divergence).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped runs with ``<KIND>`` tokens
+    and count the hits per kind — the standard pre-training PII pass.
+    Pure regexp_replace/regexp chains (JVM, one projection, no shuffle);
+    patterns are deliberately lookaround-free so the DuckDB oracle runs
+    the same regexes. Returns (doc_id, scrubbed, n_email, n_ipv4,
+    n_phone). Replacement order is the PII_PATTERNS order (email first:
+    an email must not be half-eaten by the phone digit-run pattern)."""
+    scrubbed = F.col(col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col).alias("doc_id"), scrubbed.alias("scrubbed"), *counts
+    )
+
+
+def repetition_stats(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals (the Gopher/MassiveText "repetitious content"
+    family, §A1.1): fraction of duplicate word-2-grams and the share of
+    the single most frequent 2-gram. One JVM projection + one aggregate
+    over the exploded grams per doc — grouped by (doc_id, gram) with
+    map-side combine, so hot grams inside one doc never skew the shuffle.
+    Returns (doc_id, n_bigrams, dup_bigram_frac, top_bigram_frac)."""
+    toks = tokens_col(col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("doc_id"), grams.alias("gs"))
+    per_gram = (
+        base.select("doc_id", F.explode("gs").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("ndup"),
+        F.max("c").alias("top"),
+    )
+    # docs with < 2 tokens have no bigrams: re-attach with zeros
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce("ndup", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_bigram_frac"),
+            F.round(
+                F.coalesce("top", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
 
 

@@ -297,6 +297,49 @@ def test_gopher_quality_rules(spark):
     assert out[4]["ok_alpha_words"] is False and out[4]["ok_stopwords"] is False
 
 
+# ------------------------------------------------------------ pii + repeat
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from phphinder_spark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or bob@corp.io thanks"),
+            (2, "server 10.0.255.3 and 192.168.1.12 are up"),
+            (3, "call +1 (415) 555-0199 today"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in textstats.pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 2 and "@" not in out[1]["scrubbed"]
+    assert "<EMAIL>" in out[1]["scrubbed"]
+    assert out[2]["n_ipv4"] == 2 and "<IPV4>" in out[2]["scrubbed"]
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["scrubbed"]
+    assert out[4]["scrubbed"] == "nothing sensitive here"
+    assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
+
+
+def test_repetition_stats_values(spark):
+    from phphinder_spark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab -> all dup, top=3/5
+            (2, "u v w x y"),     # 4 distinct bigrams, no dups
+            (3, "one"),           # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.repetition_stats(docs).collect()}
+    assert out[1]["n_bigrams"] == 5 and out[1]["dup_bigram_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["top_bigram_frac"] == 0.25
+    assert out[3]["n_bigrams"] == 0 and out[3]["dup_bigram_frac"] == 0.0
+
+
 # -------------------------------------------------------------------- dbal
 
 
