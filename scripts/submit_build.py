@@ -20,7 +20,10 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # on a cluster the package arrives via --py-files phphinder_spark.zip
+    import phphinder_spark  # noqa: F401
+except ImportError:  # running from the repo checkout without packaging
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
