@@ -86,6 +86,15 @@ def main() -> None:
         rows[name] = len(df.collect()) if name in small else df.count()
         times[name] = round(time.time() - t, 3)
 
+    # round-4 pipeline ops — timed as EXTRAS (not in the headline total,
+    # which stays the 14-query set for round-over-round comparability)
+    extras: dict[str, float] = {}
+    for name in ("dedup_clusters", "text_gopher_quality", "text_pii_scrub",
+                 "text_repetition"):
+        t = time.time()
+        qs[name](spark, sf_dir).count()
+        extras[name] = round(time.time() - t, 3)
+
     # throughput/pruning variants (not part of the headline total)
     t = time.time()
     batch_terms = [
@@ -170,6 +179,7 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / max(build_sec, 1e-9), 1),
         "bm25_batched_10q_sec": batched_sec,
         "bm25_blockmax_sec": blockmax_sec,
+        "extras": extras,
         "scaling": scaling_summary or None,
         "blockmax_crossover": blockmax_summary,
     }
