@@ -1,0 +1,108 @@
+"""Alice head-to-head refresh: the reference's own benchmark corpus
+(tests/Performance/pg11.txt + AliceSearchEngineTest.php golden queries),
+re-measured on current engine code. Prints one JSON line; appends BENCH.md
+only when run with --record.
+"""
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+PG11 = "/root/reference/tests/Performance/pg11.txt"
+
+QUERIES = [
+    ("Ali*", 403),
+    ("Mabel", 4),
+    ("Alice", 400),
+    ("said poor Alice", 1),
+    ("Alice NOT(wonderland)", 395),
+    ("Hatter", 57),
+    ("gryphon", 55),
+    ("griphon", 55),
+    ("winder", 35),
+    ('"“I advise you to leave off this minute!”"', 1),
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from phphinder_spark.engine import SparkSearchEngine
+    from phphinder_spark.schema import line_schema
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("alice-bench")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    chapter = "unknown"
+    with open(PG11, encoding="utf-8") as fh:
+        for line_no, raw in enumerate(fh, start=1):
+            text = raw.strip()
+            if not text:
+                continue
+            m = re.match(r"^CHAPTER ([MDCLXVI]+)\.$", text)
+            if m:
+                chapter = m.group(1)
+                continue
+            rows.append((chapter, text, line_no))
+
+    t0 = time.time()
+    df = spark.createDataFrame(
+        [(i + 1, c, t, l) for i, (c, t, l) in enumerate(rows)],
+        "doc_id long, chapter string, text string, line long",
+    )
+    eng = SparkSearchEngine(spark, line_schema())
+    eng.index_dataframe(df)
+    eng.index.postings.cache().count()
+    eng.index.stats()
+    build_sec = time.time() - t0
+
+    times = {}
+    for q, expected in QUERIES:
+        t = time.time()
+        n = eng.search_df(q).count()
+        times[q] = round(time.time() - t, 3)
+        assert n == expected, (q, n, expected)
+    vals = sorted(times.values())
+    p95 = vals[int(0.95 * (len(vals) - 1))]
+
+    t = time.time()
+    eng.search_topk_bm25_many(
+        ["alice rabbit", "mad hatter", "queen hearts", "mock turtle",
+         "cheshire cat", "white rabbit", "tea party", "croquet ground",
+         "caterpillar mushroom", "gryphon dance"],
+        k=10, field="text",
+    ).collect()
+    batched = round(time.time() - t, 3)
+
+    out = {
+        "n_docs": len(rows),
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(len(rows) / build_sec, 1),
+        "queries": times,
+        "min_sec": vals[0],
+        "max_sec": vals[-1],
+        "p95_sec": p95,
+        "batched_10q_sec": batched,
+        "batched_q_per_sec": round(10 / batched, 2),
+        "all_counts_match_reference": True,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
