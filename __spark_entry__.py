@@ -375,6 +375,20 @@ def _q_pii(spark, sf_dir):
     return textstats.pii_scrub(_documents(spark, sf_dir))
 
 
+def _q_pipeline_clean(spark, sf_dir):
+    """Composed cleaning pipeline: gopher gate + PII scrub + transitive
+    minhash dedup, intersected — the oracle certifies the JOIN, not just
+    the parts."""
+    from phphinder_spark.ops import pipeline
+
+    # min_stop_hits=1: the synthetic 31-word vocabulary carries exactly ONE
+    # of the 8 canonical Gopher stopwords ('the'), so the default >=2 gate
+    # would keep nothing and the oracle row would be a trivial 0==0
+    return pipeline.clean_corpus(
+        _documents(spark, sf_dir), min_words=20, min_stop_hits=1
+    )
+
+
 def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
@@ -444,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": _q_gopher,
         "text_pii_scrub": _q_pii,
         "text_repetition": _q_repetition,
+        "pipeline_clean_corpus": _q_pipeline_clean,
         "agg_lang_stats": _q_lang_stats,
         "corpus_sha256": _q_sha256,
         "text_langid": _q_langid,
@@ -664,6 +679,62 @@ SELECT d.doc_id,
        d.doc_id <> coalesce(c.cluster_id, d.doc_id) AS is_dup
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """.format(minhash=minhash)
+
+    def _gopher_sql(min_words: int, min_stops: int) -> str:
+        return """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\W+'), x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    round(list_reduce(list_prepend(0, list_transform(ws, x -> length(x))),
+                      (a, b) -> a + b) / greatest(len(ws), 1), 6) AS mean_word_len,
+    CAST(len(list_intersect(list_transform(ws, x -> lower(x)),
+         ['and','be','have','of','that','the','to','with'])) AS BIGINT) AS stop_hits,
+    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+          / greatest(len(ws), 1), 6) AS alpha_word_frac
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_word_frac,
+  (n_words >= {mw} AND n_words <= 100000) AS ok_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+  (stop_hits >= {ms}) AS ok_stopwords,
+  (alpha_word_frac >= 0.8) AS ok_alpha_words,
+  ((n_words >= {mw} AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND stop_hits >= {ms} AND alpha_word_frac >= 0.8) AS gopher_pass
+FROM m
+""".format(mw=min_words, ms=min_stops)
+
+    gopher_sql = _gopher_sql(20, 2)
+    pii_sql = (
+        lambda e, i, p: f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{e}', '<EMAIL>', 'g'), '{i}', '<IPV4>', 'g'), '{p}', '<PHONE>', 'g')
+    AS scrubbed,
+  CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+    '{i}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+    '{e}', '<EMAIL>', 'g'), '{i}', '<IPV4>', 'g'), '{p}')) AS BIGINT)
+    AS n_phone
+FROM documents
+"""
+    )(*[pat for _, pat in textstats.PII_PATTERNS])
+
+    # composed pipeline: the SAME fragments joined — certifies the
+    # composition (keeper set = not-dup AND gopher_pass; text = scrubbed)
+    gopher1 = _gopher_sql(20, 1)
+    pipeline_sql = f"""
+SELECT k.doc_id, k.cluster_id, s.scrubbed
+FROM ({clusters}) k
+JOIN ({gopher1}) q ON k.doc_id = q.doc_id
+JOIN ({pii_sql}) s ON k.doc_id = s.doc_id
+WHERE NOT k.is_dup AND q.gopher_pass
+"""
 
     profile_rows = ",\n    ".join(
         "('{lang}', [{words}])".format(
@@ -903,21 +974,8 @@ SELECT doc_id, score FROM (
         ),
         # PII scrub: identical lookaround-free regexes, counts taken on the
         # progressively scrubbed text in the SAME kind order as the op
-        "text_pii_scrub": (
-            lambda e, i, p: f"""
-SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(text,
-    '{e}', '<EMAIL>', 'g'), '{i}', '<IPV4>', 'g'), '{p}', '<PHONE>', 'g')
-    AS scrubbed,
-  CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
-  CAST(len(regexp_extract_all(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
-    '{i}')) AS BIGINT) AS n_ipv4,
-  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
-    '{e}', '<EMAIL>', 'g'), '{i}', '<IPV4>', 'g'), '{p}')) AS BIGINT)
-    AS n_phone
-FROM documents
-"""
-        )(*[pat for _, pat in textstats.PII_PATTERNS]),
+        "text_pii_scrub": pii_sql,
+        "pipeline_clean_corpus": pipeline_sql,
         "text_repetition": """
 WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
 grams AS (
@@ -943,32 +1001,7 @@ SELECT t.doc_id,
     AS top_bigram_frac
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """.format(toks=_TOKS),
-        "text_gopher_quality": """
-WITH w AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\W+'), x -> x <> '') AS ws
-  FROM documents
-), m AS (
-  SELECT doc_id,
-    CAST(len(ws) AS BIGINT) AS n_words,
-    round(list_reduce(list_prepend(0, list_transform(ws, x -> length(x))),
-                      (a, b) -> a + b) / greatest(len(ws), 1), 6) AS mean_word_len,
-    CAST(len(list_intersect(list_transform(ws, x -> lower(x)),
-         ['and','be','have','of','that','the','to','with'])) AS BIGINT) AS stop_hits,
-    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-          / greatest(len(ws), 1), 6) AS alpha_word_frac
-  FROM w
-)
-SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_word_frac,
-  (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
-  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
-  (stop_hits >= 2) AS ok_stopwords,
-  (alpha_word_frac >= 0.8) AS ok_alpha_words,
-  ((n_words >= 20 AND n_words <= 100000)
-   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-   AND stop_hits >= 2 AND alpha_word_frac >= 0.8) AS gopher_pass
-FROM m
-""",
+        "text_gopher_quality": gopher_sql,
         "text_quality": (
             "SELECT doc_id, length(text) AS n_chars_calc, "
             "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "

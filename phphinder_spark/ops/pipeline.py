@@ -1,0 +1,53 @@
+"""Composed training-data cleaning pipeline — the end-to-end flow the
+individual operators exist for:
+
+    raw corpus --gopher quality gate--> --PII scrub--> --minhash-LSH
+    pairs--> --connected components--> keep one doc per near-dup cluster
+
+Each stage is one of the independently-oracled operators (ops/dedup.py,
+ops/textstats.py); the composition itself carries a value-level DuckDB
+oracle too (__spark_entry__ ``pipeline_clean_corpus``), so the JOINED
+result — not just the parts — is certified.
+
+Scale shape: quality + scrub are map-only projections; the dedup leg is
+the banded LSH self-join + label propagation (see their docstrings); the
+final assembly is three id-keyed joins on uniform doc_id — no new
+shuffle pattern beyond the parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from phphinder_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
+from phphinder_spark.ops.textstats import gopher_quality, pii_scrub
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+    min_words: int = 20,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """(doc_id, cluster_id, scrubbed) for every KEPT document: quality
+    passes the Gopher rules, text is PII-scrubbed, and only the minimum
+    id of each near-dup cluster survives.
+
+    Dedup runs over the FULL corpus (quality rejects must still suppress
+    their near-duplicates' content — dropping them before pairing would
+    let a low-quality twin's sibling through as "unique"). The quality
+    and dedup verdicts then intersect on the keeper set."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=jaccard_threshold)
+    clusters = dedup_clusters(df, pairs, id_col)
+    quality = gopher_quality(
+        df, text_col, id_col, min_words=min_words, min_stop_hits=min_stop_hits
+    )
+    scrub = pii_scrub(df, text_col, id_col)
+    return (
+        clusters.join(quality.select("doc_id", "gopher_pass"), "doc_id")
+        .join(scrub.select("doc_id", "scrubbed"), "doc_id")
+        .where(~F.col("is_dup") & F.col("gopher_pass"))
+        .select("doc_id", "cluster_id", "scrubbed")
+    )

@@ -340,6 +340,36 @@ def test_repetition_stats_values(spark):
     assert out[3]["n_bigrams"] == 0 and out[3]["dup_bigram_frac"] == 0.0
 
 
+# --------------------------------------------------------- composed pipeline
+
+
+def test_clean_corpus_composition(spark):
+    """Quality reject, near-dup drop (transitively), PII scrub and keeper
+    selection all interact correctly in one call."""
+    from phphinder_spark.ops import pipeline
+
+    good = "the quick brown fox jumps over lazy dogs and cats with style "
+    docs = spark.createDataFrame(
+        [
+            (1, good * 4),                          # keeper
+            (2, good * 4),                          # exact dup of 1 -> dropped
+            (3, good * 4 + "extra tail words here"),  # near-dup of 1 -> dropped
+            (4, "short"),                           # quality reject
+            (5, "please mail bob@x.io to be kept with all of that and have "
+                "the other note sent to the same address again and again "
+                "so that the word count clears the gate easily today "
+                "with more than enough words to pass the length rule"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pipeline.clean_corpus(
+        docs, jaccard_threshold=0.5, min_words=20, min_stop_hits=2
+    ).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["cluster_id"] == 1
+    assert "<EMAIL>" in out[5]["scrubbed"] and "bob@x.io" not in out[5]["scrubbed"]
+
+
 # -------------------------------------------------------------------- dbal
 
 
