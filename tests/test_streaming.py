@@ -194,3 +194,36 @@ def test_windowed_ingest_stats(spark, tmp_path):
     # append mode emits only watermark-finalized windows: minute 0 closes
     # once the minute-1 event advances the watermark past it
     assert got[("py", 0)] == (2, 6)
+
+
+def test_quality_and_pii_ops_run_on_streams(spark, tmp_path):
+    """gopher_quality and pii_scrub are stateless projections, so they
+    must compose with Structured Streaming unchanged — the shape a
+    100-TB ingest pipeline actually runs them in (filter/scrub on the
+    way in, before any batch dedup pass)."""
+    from phphinder_spark.ops.textstats import gopher_quality, pii_scrub
+
+    inp = str(tmp_path / "qin")
+    good = "the quick brown fox jumps over lazy dogs and cats with style "
+    spark.createDataFrame(
+        [(1, good * 4 + " ping admin@corp.io"), (2, "too short")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+
+    scrubbed = pii_scrub(stream)
+    gated = gopher_quality(stream, min_words=20).where("gopher_pass")
+    out1, out2 = str(tmp_path / "qs"), str(tmp_path / "qg")
+    for df, out, ck in ((scrubbed, out1, "c1"), (gated, out2, "c2")):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    s = {r["doc_id"]: r for r in spark.read.parquet(out1).collect()}
+    assert s[1]["n_email"] == 1 and "<EMAIL>" in s[1]["scrubbed"]
+    kept = [r["doc_id"] for r in spark.read.parquet(out2).collect()]
+    assert kept == [1]
