@@ -405,6 +405,50 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir))
 
 
+# ----------------------------------------------------- streaming batch-replay
+# The streaming operators run for real (file source, micro-batches, state
+# store, watermarks) over a staged split of the documents table; the final
+# results are order-insensitive by construction, so the batch SQL is an
+# exact value-level oracle (stream ≡ batch equivalence). See
+# phphinder_spark/streaming/replay.py.
+
+_STREAM_STAGED: dict[str, tuple] = {}
+
+
+def _stream_batches(spark, sf_dir):
+    if sf_dir not in _STREAM_STAGED:
+        import tempfile
+
+        from phphinder_spark.streaming.replay import stage_batches
+
+        out = tempfile.mkdtemp(prefix="phph_stream_batches_")
+        docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+        schema = stage_batches(spark, docs, out, n_batches=4)
+        _STREAM_STAGED[sf_dir] = (out, schema)
+    return _STREAM_STAGED[sf_dir]
+
+
+def _q_stream_term_df(spark, sf_dir):
+    from phphinder_spark.streaming.replay import replay_running_term_df
+
+    d, sch = _stream_batches(spark, sf_dir)
+    return replay_running_term_df(spark, d, sch, col="text")
+
+
+def _q_stream_dedup(spark, sf_dir):
+    from phphinder_spark.streaming.replay import replay_dedup_shas
+
+    d, sch = _stream_batches(spark, sf_dir)
+    return replay_dedup_shas(spark, d, sch, content_col="text")
+
+
+def _q_stream_ingest(spark, sf_dir):
+    from phphinder_spark.streaming.replay import replay_ingest_windows
+
+    d, sch = _stream_batches(spark, sf_dir)
+    return replay_ingest_windows(spark, d, sch, content_col="text")
+
+
 _MEDIA_FIXTURE = "/root/repo/tests/fixtures/media_64.parquet"
 
 
@@ -465,6 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": _q_bpe_tokens,
         "text_fingerprint": _q_fingerprint,
         "multimodal_features": _q_multimodal,
+        "stream_term_df_replay": _q_stream_term_df,
+        "stream_dedup_replay": _q_stream_dedup,
+        "stream_ingest_stats_replay": _q_stream_ingest,
     }
 
 
@@ -1035,5 +1082,25 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         "multimodal_features": (
             "SELECT media_id, kind, octet_length(payload) AS n_bytes, "
             f"sha256_expected AS sha256 FROM read_parquet('{_MEDIA_FIXTURE}')"
+        ),
+        # ---- streaming batch-replay equivalence: the Spark side ran the
+        # REAL stream (micro-batches, state store, watermark); the oracle
+        # is the batch semantics over the same rows
+        "stream_term_df_replay": (
+            "SELECT term, CAST(count(*) AS BIGINT) AS df FROM ("
+            "SELECT doc_id, unnest(list_distinct({toks})) AS term "
+            "FROM documents) GROUP BY term".format(toks=_TOKS)
+        ),
+        "stream_dedup_replay": (
+            "SELECT DISTINCT sha256(text) AS sha FROM documents"
+        ),
+        # window start replays as epoch-aligned floor((EPOCH+doc_id)/60)*60
+        # (event_time := EPOCH + doc_id seconds, staged deterministically in
+        # streaming/replay.stage_batches)
+        "stream_ingest_stats_replay": (
+            "SELECT CAST((1767225600 + doc_id) // 60 * 60 AS BIGINT) "
+            "AS win_start, lang, count(*) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS n_bytes "
+            "FROM documents GROUP BY 1, 2"
         ),
     }

@@ -492,10 +492,11 @@ class SparkSearchEngine:
         exact = self._postings_where(
             (F.col("term") == t) & F.col("field").isin(fields)
         ).select("doc_id", "field")
-        if ctx.term_hits is not None:
-            has_exact = any(ctx.term_hits.get((t, f), False) for f in fields)
-        else:
-            has_exact = exact.limit(1).count() > 0
+        # ctx.term_hits is guaranteed by _compute's lazy prefetch — there
+        # is no per-leaf existence-job fallback (a 3-term AND costs the
+        # same number of jobs as a 1-term query; asserted in
+        # tests/test_round5_fixes.py)
+        has_exact = any(ctx.term_hits.get((t, f), False) for f in fields)
         if not has_exact:
             exact = self._typo_candidates(t, fields)
         return self._attach(matches, exact, q.value, base_seq)
@@ -614,7 +615,12 @@ class SparkSearchEngine:
         # memory mode: scan iff the stored corpus is cached in memory
         # (index_dataframe/flush paths cache it; from_index_dir(postings)
         # leaves docs on parquet, where the prefilter avoids re-reading
-        # the whole text column per query)
+        # the whole text column per query). Caveat: useMemory reflects the
+        # DECLARED storage level from the moment .cache() is called, not
+        # the materialized/non-evicted fraction — a mostly-evicted or
+        # disk-spilled cache still routes to the scan path and re-reads
+        # cold data per query; callers with eviction pressure should pin
+        # phrase_strategy='index' (the cold-storage plan) explicitly.
         return not self.index.docs.storageLevel.useMemory
 
     def _phrase_postings_src(self, analyzed: list[tuple[str, int]], label: str) -> DataFrame:
@@ -737,6 +743,11 @@ class SparkSearchEngine:
     def _compute(
         self, q, matches: DataFrame, ctx: _Ctx, phrase: str, top: bool = False
     ) -> DataFrame:
+        if ctx.term_hits is None:
+            # direct _compute callers (not via search_df) still get ONE
+            # batched dictionary probe for the whole subtree — term leaves
+            # never fall back to per-leaf existence jobs
+            ctx.term_hits = self._prefetch_term_hits(q)
         if isinstance(q, (AndQuery, OrQuery)) and not isinstance(q, NotQuery):
             return self._group(q, matches, ctx, phrase, top=top)
         if isinstance(q, NotQuery):

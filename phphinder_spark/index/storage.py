@@ -433,7 +433,17 @@ class KVStorage(IndexStorage):
     persistence choice. The SPI keeps it swappable for
     ParquetSnapshotStorage/IcebergStorage at bulk scale. Commits are NOT
     multi-key atomic (neither are the reference's non-MULTI Redis writes);
-    single-writer assumed."""
+    single-writer assumed.
+
+    Driver-memory bound: ``commit`` streams both frames through
+    ``toLocalIterator`` (one partition resident at a time, never a full
+    ``collect``), and ``_MAX_COMMIT_ROWS`` fail-fasts a batch that should
+    have gone to a bulk backend instead of a per-key KV store."""
+
+    # A KV commit is per-key driver I/O, so a batch this large is a wrong
+    # backend choice, not a capacity problem — fail fast with the guidance
+    # instead of grinding through millions of dbm round-trips.
+    _MAX_COMMIT_ROWS = 2_000_000
 
     _SEP = "\x1f"
 
@@ -453,13 +463,13 @@ class KVStorage(IndexStorage):
     @property
     def is_empty(self) -> bool:
         with self._open("r") as db:
-            return b"meta:docs_schema" not in db.keys()
+            return b"meta:docs_schema" not in db
 
     def docs(self) -> DataFrame:
         from pyspark.sql import types as T
 
         with self._open("r") as db:
-            if b"meta:docs_schema" not in db.keys():
+            if b"meta:docs_schema" not in db:
                 raise RuntimeError("storage is empty")
             schema = T.StructType.fromJson(json.loads(db[b"meta:docs_schema"]))
             rows = [
@@ -471,7 +481,7 @@ class KVStorage(IndexStorage):
 
     def postings(self) -> DataFrame:
         with self._open("r") as db:
-            if b"meta:docs_schema" not in db.keys():
+            if b"meta:docs_schema" not in db:
                 raise RuntimeError("storage is empty")
             rows = []
             for k in db.keys():
@@ -486,12 +496,26 @@ class KVStorage(IndexStorage):
         )
 
     def commit(self, new_docs, new_postings, replaced_doc_ids):
-        doc_rows = new_docs.collect()
-        post_rows = new_postings.collect()
-        batch_ids = {int(r["doc_id"]) for r in doc_rows}
+        # driver-memory bound: rows stream partition-at-a-time via
+        # toLocalIterator (never a whole-batch collect); the only
+        # whole-batch driver structures are the id set and the reverse
+        # post-key map — O(batch ids + batch vocabulary), not O(rows)
+        n_rows = new_docs.count() + new_postings.count()
+        if n_rows > self._MAX_COMMIT_ROWS:
+            raise ValueError(
+                f"KVStorage.commit batch of {n_rows} rows exceeds "
+                f"_MAX_COMMIT_ROWS={self._MAX_COMMIT_ROWS}: a per-key KV "
+                "store is the interactive backend — use "
+                "ParquetSnapshotStorage (bulk MERGE snapshots) for batches "
+                "this size"
+            )
+        batch_ids = {
+            int(r["doc_id"])
+            for r in new_docs.select("doc_id").toLocalIterator()
+        }
         superseded = batch_ids | {int(i) for i in replaced_doc_ids}
         with self._open("w") as db:
-            if b"meta:docs_schema" not in db.keys():
+            if b"meta:docs_schema" not in db:
                 db[b"meta:docs_schema"] = json.dumps(
                     new_docs.schema.jsonValue()
                 ).encode("utf-8")
@@ -500,12 +524,12 @@ class KVStorage(IndexStorage):
             # their doc/docpost keys
             for doc_id in sorted(superseded):
                 rk = f"docpost:{doc_id}".encode()
-                if rk not in db.keys():
+                if rk not in db:
                     continue
                 sid = str(doc_id)
                 for post_key in json.loads(db[rk]):
                     pk = post_key.encode("utf-8")
-                    if pk not in db.keys():
+                    if pk not in db:
                         continue
                     entries = json.loads(db[pk])
                     entries.pop(sid, None)
@@ -515,19 +539,19 @@ class KVStorage(IndexStorage):
                         del db[pk]
                 del db[rk]
                 dk = f"doc:{doc_id}".encode()
-                if dk in db.keys():
+                if dk in db:
                     del db[dk]
-            # INSERT arm
-            for r in doc_rows:
+            # INSERT arm (streamed)
+            for r in new_docs.toLocalIterator():
                 d = r.asDict(recursive=True)
                 db[f"doc:{int(d['doc_id'])}".encode()] = json.dumps(
                     d, ensure_ascii=False
                 ).encode("utf-8")
             by_doc: dict[int, list[str]] = {}
-            for r in post_rows:
+            for r in new_postings.toLocalIterator():
                 key = f"post:{r['field']}{self._SEP}{r['term']}"
                 pk = key.encode("utf-8")
-                entries = json.loads(db[pk]) if pk in db.keys() else {}
+                entries = json.loads(db[pk]) if pk in db else {}
                 entries[str(int(r["doc_id"]))] = [
                     int(r["tf"]),
                     list(r["positions"] or []),

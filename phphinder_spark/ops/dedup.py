@@ -15,6 +15,7 @@ Scale notes (the whole point of these designs):
 from __future__ import annotations
 
 import math
+import time as _time
 
 import numpy as np
 import pandas as pd
@@ -391,56 +392,178 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 50,
+    algorithm: str = "auto",
+    switch_after: int = 5,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``, where
     cluster_id is the MINIMUM id reachable through the undirected pair
     graph — the canonical representative a dedup pipeline keeps.
 
-    Physical plan: iterative min-label propagation. Each round joins the
-    current labels across the edge list both ways and takes the per-node
-    min; ``localCheckpoint`` cuts the lineage every round so iteration K
-    plans against a flat scan, not K stacked joins. Rounds needed =
-    component diameter — near-dup clusters are shallow (pairs come from
-    banded LSH around a shared center), so this converges in a few rounds;
-    the alternating large-star/small-star trick (Kiveris et al.) is the
-    drop-in upgrade if 100 TB components turn out deep. Each round is two
-    shuffles keyed on uniform ids — no skew beyond component size itself.
+    Three physical strategies, identical output (equivalence-tested
+    against a driver union-find in tests/test_ops.py):
 
-    Raises after ``max_iter`` rounds without a fixpoint (never returns a
-    half-converged labeling silently)."""
+    - ``'label'`` — iterative min-label propagation. Each round joins the
+      current labels across the edge list and takes the per-node min;
+      ``localCheckpoint`` cuts the lineage every round so iteration K
+      plans against a flat scan, not K stacked joins. Rounds needed =
+      component DIAMETER: ideal for the shallow star-shaped clusters
+      banded LSH emits (1-3 rounds), pathological for chain-shaped
+      components (a diameter-D chain needs D rounds).
+    - ``'star'`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14): each
+      round rewires every node toward the minimum of its neighborhood,
+      halving component height, so rounds grow with log(diameter), not
+      diameter (measured: diameter-4096 chains converge in 9 star rounds
+      vs 4096 label rounds — scripts/cc_scale.py, BENCH.md §CC).
+    - ``'auto'`` (default) — runs label propagation for ``switch_after``
+      rounds (the LSH-shallow fast path, no per-round star edge rewrite),
+      then falls back to star alternation seeded with the propagated
+      labels if a fixpoint wasn't reached. Worst case pays
+      ``switch_after`` cheap extra rounds; deep components get the
+      logarithmic algorithm.
+
+    Every round shuffles on uniform node ids. Raises after ``max_iter``
+    rounds without a fixpoint (never returns a half-converged labeling
+    silently). ``metrics`` (optional dict) receives ``label_rounds`` /
+    ``star_rounds`` / per-round wall times for scale diagnostics
+    (scripts/cc_scale.py)."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"algorithm must be 'auto', 'label' or 'star', got {algorithm!r}"
+        )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if metrics is None:
+        metrics = {}
+    metrics.setdefault("label_rounds", 0)
+    metrics.setdefault("star_rounds", 0)
+    metrics.setdefault("round_secs", [])
+    if algorithm == "star":
+        return _cc_star(edges, max_iter, metrics)
+    label_rounds = max_iter if algorithm == "label" else min(switch_after, max_iter)
     labels = edges.groupBy("u").agg(F.min("v").alias("l")).select(
         "u", F.least("u", "l").alias("l")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for _ in range(label_rounds):
+        _t0 = _time.time()
         # neighbor labels: for each edge (u, v), v's current label
         nbr = (
             edges.join(labels.select(F.col("u").alias("v"), F.col("l").alias("nl")), "v")
             .groupBy("u")
             .agg(F.min("nl").alias("nl"))
         )
+        # carry the changed flag through the checkpoint: the convergence
+        # probe then scans the materialized frame instead of re-joining
+        # old vs new labels (one cheap scan per round, no extra join job)
         new_labels = (
             labels.join(nbr, "u", "left")
-            .select("u", F.least("l", F.coalesce("nl", "l")).alias("l"))
+            .select(
+                "u",
+                F.least("l", F.coalesce("nl", "l")).alias("nl2"),
+                (F.least("l", F.coalesce("nl", "l")) != F.col("l")).alias("chg"),
+            )
+            .withColumnRenamed("nl2", "l")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.l") != F.col("o.l"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.select("u", "l")
+        metrics["label_rounds"] += 1
+        metrics["round_secs"].append(round(_time.time() - _t0, 3))
         if changed == 0:
             return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
+    if algorithm == "label":
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # auto fallback: components deeper than switch_after rounds — seed the
+    # logarithmic star alternation with the already-propagated labels
+    # ((u, l) edges connect nodes inside their own component, so the
+    # component structure is preserved and star starts from flattened trees)
+    seeded = (
+        edges.unionByName(labels.where(F.col("u") != F.col("l")).select("u", F.col("l").alias("v")))
+        .unionByName(labels.where(F.col("u") != F.col("l")).select(F.col("l").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _cc_star(seeded, max_iter - label_rounds, metrics)
+
+
+def _symmetrize(directed: DataFrame) -> DataFrame:
+    return (
+        directed.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionByName(directed.select(F.col("y").alias("u"), F.col("x").alias("v")))
+        .distinct()
+    )
+
+
+def _cc_star(
+    edges: DataFrame, max_iter: int, metrics: dict | None = None
+) -> DataFrame:
+    """Faithful Kiveris et al. alternation over a SYMMETRIC distinct edge
+    list. Each round REPLACES the edge set twice:
+
+    - large-star(u): for every neighbor v > u emit (v, m) where
+      m = min(N(u) ∪ {u}) — tall trees flatten toward small ids;
+    - small-star(u) over the directed v < u view: with m = min(N<(u)),
+      every member of N<(u) ∪ {u} except m re-attaches to m.
+
+    Both operations preserve connectivity and never attach a node to a
+    larger id, and their alternation reaches the fixpoint — a forest of
+    stars rooted at each component's minimum — in O(log^2 n) rounds
+    (practically ~log(diameter); measured in scripts/cc_scale.py). Each
+    half-round is one groupBy + one generate on uniform node ids; the
+    fixpoint check is exact (equal counts + empty exceptAll) on
+    checkpointed frames."""
+    if metrics is None:
+        metrics = {"star_rounds": 0, "round_secs": []}
+    metrics.setdefault("star_rounds", 0)
+    metrics.setdefault("round_secs", [])
+    for _ in range(max_iter):
+        _t0 = _time.time()
+        big = (
+            edges.groupBy("u")
+            .agg(F.collect_set("v").alias("nbrs"))
+            .select(
+                "u",
+                F.least(F.col("u"), F.array_min("nbrs")).alias("m"),
+                F.filter("nbrs", lambda v: v > F.col("u")).alias("out"),
+            )
+            .select(F.explode("out").alias("x"), F.col("m").alias("y"))
+            .where(F.col("x") != F.col("y"))
+        )
+        mid = _symmetrize(big).localCheckpoint(eager=True)
+        small = (
+            mid.where(F.col("v") < F.col("u"))
+            .groupBy("u")
+            .agg(F.collect_set("v").alias("nbrs"))
+            .select(
+                "u",
+                F.array_min("nbrs").alias("m"),
+                F.array_union("nbrs", F.array(F.col("u"))).alias("mem"),
+            )
+            .select(F.explode("mem").alias("x"), F.col("m").alias("y"))
+            .where(F.col("x") != F.col("y"))
+        )
+        new_edges = _symmetrize(small).localCheckpoint(eager=True)
+        same = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        metrics["star_rounds"] += 1
+        metrics["round_secs"].append(round(_time.time() - _t0, 3))
+        if same:
+            return edges.groupBy("u").agg(F.min("v").alias("l")).select(
+                F.col("u").alias("id"),
+                F.least("u", "l").alias("cluster_id"),
+            )
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+        f"connected_components(star) did not converge in {max_iter} rounds"
     )
 
 
@@ -450,6 +573,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     a_col: str = "a_id",
     b_col: str = "b_id",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Full-corpus cluster assignment from a near-dup pair list:
     (doc_id, cluster_id, is_dup) for EVERY row of ``df`` — docs in no pair
@@ -457,7 +581,7 @@ def dedup_clusters(
     id of each cluster (the keeper). This is the operator a training-data
     pipeline actually runs after minhash/simhash pair generation: keep
     `where ~is_dup`, and the corpus is deduplicated transitively."""
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(pairs, a_col, b_col, algorithm=algorithm)
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

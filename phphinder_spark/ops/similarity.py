@@ -93,6 +93,13 @@ def srp_bucket_col(vec_col: str | Column, table_planes: list[list[float]]) -> Co
     return bucket
 
 
+# above this many centroids the literal-projection assignment (one
+# F.lit per centroid component) produces Catalyst plans whose analysis/
+# codegen cost grows with n_centroids x dim; the broadcast-join argmax
+# keeps the plan O(1)-sized at sqrt(N)-scale centroid counts
+_IVF_LITERAL_MAX_CENTROIDS = 128
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -122,7 +129,16 @@ def ivf_topk(
     Scale: the candidate join shuffles on cid (n_centroids uniform-ish
     cells; at 100 TB pick n_centroids ~ sqrt(N) and the probed fraction
     is n_probe/n_centroids of the corpus). Returns (query_id, vec_id,
-    cosine, rank) like ``cosine_topk``."""
+    cosine, rank) like ``cosine_topk``.
+
+    Assignment has two physical forms with identical output: up to
+    ``_IVF_LITERAL_MAX_CENTROIDS`` the centroids are embedded as literal
+    expressions in a pure map-side projection (zero corpus shuffle);
+    above that — the sqrt(N) counts of a big corpus, where
+    n_centroids x dim literals would blow up the Catalyst plan/codegen —
+    assignment falls back to a broadcast crossJoin + per-vec max
+    aggregation (one uniform vec_id shuffle, plan size O(1) in
+    n_centroids)."""
     corpus = emb.select(
         F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("cv")
     )
@@ -136,34 +152,63 @@ def ivf_topk(
         return emb.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
-    # max-by-(csim, -cid): struct comparison is field-lexicographic, so
-    # array_max picks the highest round-6 cosine, ties to the LOWEST cid —
-    # the exact ordering the oracle's row_number replays
-    def _cdot(centv: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                "cv", F.array(*[F.lit(float(x)) for x in centv]), lambda x, y: x * y
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.round(_cdot(list(r["centv"])), 6).alias("csim"),
-                    F.lit(-int(r["cid"])).cast("long").alias("ncid"),
-                )
-                for r in cent_rows
-            ]
-        )
-    )
-    assign = corpus.withColumn("cid", -best["ncid"]).select("vec_id", "cv", "cid")
     cents = emb.sparkSession.createDataFrame(
         [(int(r["cid"]), list(r["centv"])) for r in cent_rows],
         "cid long, centv array<double>",
     )
+    if len(cent_rows) <= _IVF_LITERAL_MAX_CENTROIDS:
+        # max-by-(csim, -cid): struct comparison is field-lexicographic, so
+        # array_max picks the highest round-6 cosine, ties to the LOWEST
+        # cid — the exact ordering the oracle's row_number replays
+        def _cdot(centv: list[float]) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    "cv",
+                    F.array(*[F.lit(float(x)) for x in centv]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(_cdot(list(r["centv"])), 6).alias("csim"),
+                        F.lit(-int(r["cid"])).cast("long").alias("ncid"),
+                    )
+                    for r in cent_rows
+                ]
+            )
+        )
+        assign = corpus.withColumn("cid", -best["ncid"]).select(
+            "vec_id", "cv", "cid"
+        )
+    else:
+        # plan-size-bounded fallback: same (csim desc, cid asc) argmax via
+        # broadcast crossJoin + struct-max aggregation; cv is constant per
+        # vec_id group so first() carries it through without a re-join
+        adot = F.aggregate(
+            F.zip_with("cv", "centv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("csim", F.round(adot, 6))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("csim").alias("csim"),
+                        (-F.col("cid")).cast("long").alias("ncid"),
+                    )
+                ).alias("best"),
+                F.first("cv").alias("cv"),
+            )
+            .select("vec_id", "cv", (-F.col("best.ncid")).alias("cid"))
+        )
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), _normalized(vec_col).alias("qv")
     )

@@ -119,12 +119,21 @@ def pii_scrub(
     patterns are deliberately lookaround-free so the DuckDB oracle runs
     the same regexes. Returns (doc_id, scrubbed, n_email, n_ipv4,
     n_phone). Replacement order is the PII_PATTERNS order (email first:
-    an email must not be half-eaten by the phone digit-run pattern)."""
-    scrubbed = F.col(col)
+    an email must not be half-eaten by the phone digit-run pattern).
+
+    NULL text stays NULL on every output column: Spark's ``size()``
+    returns -1 on NULL input (legacy semantics), so the counts are
+    guarded with ``isNotNull`` to match SQL's NULL-propagating
+    ``len(regexp_extract_all(NULL, ...))``."""
+    text = F.col(col)
+    scrubbed = text
     counts = []
     for kind, pat in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            F.when(
+                text.isNotNull(),
+                F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))),
+            )
             .cast("long")
             .alias(f"n_{kind}")
         )

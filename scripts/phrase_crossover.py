@@ -1,6 +1,9 @@
 """Measure the phrase-path crossover: contains scan vs positional-index
-prefilter, memory-served engine, by corpus size — sets the honest value of
-engine._PHRASE_AUTO_MIN_DOCS.
+prefilter, memory-served engine, by corpus size — validates the
+residence-keyed ``phrase_strategy='auto'`` rule documented in engine.py
+(cached in-memory corpus -> contains scan; segment/parquet serving ->
+positional/shadow prefilter), showing the scan wins at EVERY size that
+fits in memory rather than at a doc-count threshold.
 
 Usage: python scripts/phrase_crossover.py [sizes...]
 Writes one JSON line per size to stdout.

@@ -120,12 +120,15 @@ def _session():
             lambda p: p[0] != p[1]
         ),
         max_size=25,
-    )
+    ),
+    st.sampled_from(["label", "star", "auto"]),
 )
 @settings(max_examples=15, deadline=None)
-def test_connected_components_equals_union_find(pairs):
-    """Spark min-label propagation == driver-side union-find on random
-    graphs (chains, cycles, multi-component, self-free)."""
+def test_connected_components_equals_union_find(pairs, algorithm):
+    """Every Spark CC strategy (min-label propagation, large/small-star
+    alternation, and the auto switchover) == driver-side union-find on
+    random graphs (chains, cycles, multi-component, self-free). auto uses
+    switch_after=1 so the star fallback path actually runs."""
     import pytest
 
     spark = _session()
@@ -159,11 +162,15 @@ def test_connected_components_equals_union_find(pairs):
     df = spark.createDataFrame(
         [(a, b) for a, b in pairs] or [(0, 0)][:0], "a_id long, b_id long"
     )
+    kw = {"algorithm": algorithm}
+    if algorithm == "auto":
+        kw["switch_after"] = 1
     if not pairs:
-        assert connected_components(df).count() == 0
+        assert connected_components(df, **kw).count() == 0
         return
     got = {
-        r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, **kw).collect()
     }
     assert got == expect
 
