@@ -58,6 +58,16 @@ def main() -> None:
     t2 = time.time()
     n_postings = eng.index.postings.count()
     t_postings = time.time() - t2
+    # first-query warmup, accounted to BUILD (round-4 verdict #6): one
+    # term-shaped and one typo-shaped search pay the per-session costs —
+    # whole-stage-codegen compile, python<->jvm warm paths, the typo
+    # dictionary count/cache for the 'auto' gate — so the per-query
+    # timings below measure query cost, not session warmup. Warmup terms
+    # deliberately differ from every timed query's terms.
+    t3 = time.time()
+    eng.search_df("vector").count()
+    eng.search_df("windoq").count()  # absent term -> typo path, builds dict
+    t_warm = time.time() - t3
     build_sec = time.time() - t0
 
     headline = [
@@ -148,6 +158,39 @@ def main() -> None:
         except Exception:
             pass
 
+    # connected-components depth/scale evidence (scripts/cc_scale.py
+    # writes the full rows to BENCH_cc.json + BENCH.md; embed the headline)
+    cc_summary = None
+    p = os.path.join(here, "BENCH_cc.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                blob = json.load(fh)
+            b = blob.get("B_e2e_1m_chained_dedup", {})
+            chain = next(
+                (
+                    r
+                    for r in blob.get("A_chain_graphs", {}).get("runs", [])
+                    if r["algorithm"] == "auto"
+                ),
+                {},
+            )
+            cc_summary = {
+                "e2e_n_docs": b.get("n_docs"),
+                "e2e_cc_rounds": (b.get("cc_label_rounds") or 0)
+                + (b.get("cc_star_rounds") or 0),
+                "e2e_cc_sec": b.get("cc_sec"),
+                "e2e_max_cluster": b.get("max_cluster_size"),
+                "adversarial_chain_length": blob.get("A_chain_graphs", {}).get(
+                    "chain_length"
+                ),
+                "chain_auto_rounds": (chain.get("label_rounds") or 0)
+                + (chain.get("star_rounds") or 0),
+                "chain_auto_status": chain.get("status"),
+            }
+        except Exception:
+            pass
+
     details = {
         "rows": rows,
         "n_docs": n_docs,
@@ -175,6 +218,7 @@ def main() -> None:
             "index_job_sec": round(t_index, 3),
             "docs_cache_sec": round(t_docs, 3),
             "postings_recount_sec": round(t_postings, 3),
+            "warmup_sec": round(t_warm, 3),
         },
         "build_docs_per_sec": round(n_docs / max(build_sec, 1e-9), 1),
         "bm25_batched_10q_sec": batched_sec,
@@ -182,6 +226,7 @@ def main() -> None:
         "extras": extras,
         "scaling": scaling_summary or None,
         "blockmax_crossover": blockmax_summary,
+        "cc_scale": cc_summary,
     }
     print(json.dumps(result))
     spark.stop()

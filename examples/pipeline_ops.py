@@ -35,8 +35,11 @@ def main() -> None:
           dedup.exact_duplicates(docs).where("is_dup").count())
     print("minhash-LSH near-dup pairs (j>=0.6):",
           dedup.minhash_lsh_pairs(docs, threshold=0.6).count())
+    # pass n_docs when you already know it: the 'auto' scheme pick then
+    # costs zero extra jobs (otherwise it counts the cached fingerprints)
+    n_docs = docs.count()
     print("simhash pairs (hamming<=6):",
-          dedup.simhash_pairs(docs, max_hamming=6).count())
+          dedup.simhash_pairs(docs, max_hamming=6, n_docs=n_docs).count())
     print("3-gram jaccard pairs (j>=0.5):",
           dedup.jaccard_pairs(docs, threshold=0.5, shingle_k=3).count())
     # transitive keep/drop: pairs -> connected components -> one keeper

@@ -49,6 +49,29 @@ _MATCH_SCHEMA = "doc_id long, qvalue string, field string, seq long"
 # extra join job dominates until the linear scan term catches up)
 _TYPO_AUTO_DICT_THRESHOLD = 150_000
 
+# Recommended session conf for INTERACTIVE point-query serving (sub-second
+# single searches over a built index), measured on the Alice corpus
+# (scripts/alice_bench.py, local[8]): AQE surfaces every shuffle stage of a
+# single action as its own scheduled job — right for multi-GB analytics
+# stages, pure scheduling overhead for point queries over cached frames
+# (p95 0.70 -> 0.64 s, median 0.46 -> 0.42 s with it off; totals -12%).
+# Analytics/batch pipelines (bench.py, dedup, builds) should keep AQE ON.
+INTERACTIVE_SESSION_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "4",
+}
+
+
+def apply_interactive_conf(spark: SparkSession) -> dict[str, str]:
+    """Apply INTERACTIVE_SESSION_CONF; returns the previous values so a
+    caller can restore them around an interactive serving phase."""
+    prev = {}
+    for k, v in INTERACTIVE_SESSION_CONF.items():
+        prev[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    return prev
+
+
 # phrase_strategy='auto' rule (measured, scripts/phrase_crossover.py): when
 # the stored corpus is a CACHED in-memory column, one contains scan beats
 # the positional candidate+verify plan at EVERY size that fits in memory
@@ -929,7 +952,13 @@ class SparkSearchEngine:
 
     def find_docs_by_index(self, term: str, field: str | None = None) -> dict[str, list[int]]:
         """Reference findDocsByIndex (src/SearchEngine.php:91-94): exact
-        dictionary lookup per non-unique indexed field, no scoring."""
+        dictionary lookup per non-unique indexed field, no scoring.
+
+        Segment-serving note: this routes through ``_postings_where`` —
+        the (field, term) predicate is applied to segment rows before any
+        payload decode, so it is safe (and warning-free) under
+        ``from_index_dir(serve='segments')``; only direct access to
+        ``index.postings`` trips the full-decode guard."""
         t = self.schema.analyzer.transform(term)
         result_fields = (
             [f for f in self.schema.indexed_fields if not self.schema.is_unique(f)]

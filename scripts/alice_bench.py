@@ -2,6 +2,23 @@
 (tests/Performance/pg11.txt + AliceSearchEngineTest.php golden queries),
 re-measured on current engine code. Prints one JSON line; appends BENCH.md
 only when run with --record.
+
+Reports THREE latency views (round-5 verdict #1 asked for the honest
+decomposition of the single-query line):
+
+- cold: first execution of each query shape in the session — pays
+  whole-stage-codegen compilation and JVM warm paths once per shape;
+- warm: median of 3 passes under the engine's INTERACTIVE_SESSION_CONF
+  (AQE off for point queries, small shuffle width) — the steady-state a
+  serving process actually exhibits;
+- actions: Spark jobs per query, counted with AQE disabled. The engine
+  issues exactly 2 driver round-trips for term-bearing queries (one
+  batched dictionary prefetch covering EVERY term leaf + the result
+  collect; job count is leaf-count independent — tests/
+  test_round5_fixes.py) and 1 for ASTs without term leaves; measured
+  counts of 3-4 include Spark's internal broadcast-exchange build jobs
+  (the docs-attach / candidate joins), which are scheduled by the
+  executor side, not extra driver round-trips.
 """
 
 import json
@@ -32,7 +49,7 @@ QUERIES = [
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    from phphinder_spark.engine import SparkSearchEngine
+    from phphinder_spark.engine import SparkSearchEngine, apply_interactive_conf
     from phphinder_spark.schema import line_schema
 
     spark = (
@@ -70,14 +87,44 @@ def main() -> None:
     eng.index.stats()
     build_sec = time.time() - t0
 
-    times = {}
+    # ---- cold: first run of each shape (codegen compile included)
+    cold = {}
     for q, expected in QUERIES:
         t = time.time()
         n = eng.search_df(q).count()
-        times[q] = round(time.time() - t, 3)
+        cold[q] = round(time.time() - t, 3)
         assert n == expected, (q, n, expected)
-    vals = sorted(times.values())
-    p95 = vals[int(0.95 * (len(vals) - 1))]
+
+    # ---- warm: median of 3 passes under the interactive profile
+    apply_interactive_conf(spark)
+    samples = {q: [] for q, _ in QUERIES}
+    for _ in range(3):
+        for q, expected in QUERIES:
+            t = time.time()
+            n = eng.search_df(q).count()
+            samples[q].append(time.time() - t)
+            assert n == expected, (q, n, expected)
+    warm = {q: round(statistics.median(v), 3) for q, v in samples.items()}
+
+    # ---- actions per query (AQE already off): one group per query
+    sc = spark.sparkContext
+    actions = {}
+    for i, (q, _) in enumerate(QUERIES):
+        g = f"alice-actions-{i}"
+        sc.setJobGroup(g, q)
+        eng.search_df(q).count()
+        sc.setJobGroup(None, None)
+        actions[q] = len(sc.statusTracker().getJobIdsForGroup(g))
+
+    def stats(d):
+        vals = sorted(d.values())
+        return {
+            "min_sec": vals[0],
+            "median_sec": round(statistics.median(vals), 3),
+            "p95_sec": vals[int(0.95 * (len(vals) - 1))],
+            "max_sec": vals[-1],
+            "total_sec": round(sum(vals), 3),
+        }
 
     t = time.time()
     eng.search_topk_bm25_many(
@@ -92,10 +139,11 @@ def main() -> None:
         "n_docs": len(rows),
         "build_sec": round(build_sec, 2),
         "docs_per_sec": round(len(rows) / build_sec, 1),
-        "queries": times,
-        "min_sec": vals[0],
-        "max_sec": vals[-1],
-        "p95_sec": p95,
+        "cold_queries": cold,
+        "cold": stats(cold),
+        "warm_queries": warm,
+        "warm": stats(warm),
+        "actions_per_query": actions,
         "batched_10q_sec": batched,
         "batched_q_per_sec": round(10 / batched, 2),
         "all_counts_match_reference": True,

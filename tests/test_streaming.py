@@ -227,3 +227,46 @@ def test_quality_and_pii_ops_run_on_streams(spark, tmp_path):
     assert s[1]["n_email"] == 1 and "<EMAIL>" in s[1]["scrubbed"]
     kept = [r["doc_id"] for r in spark.read.parquet(out2).collect()]
     assert kept == [1]
+
+
+def test_batch_replay_harness_matches_batch_semantics(spark, tmp_path):
+    """The round-5 replay harness (the driver-oracle streaming rows):
+    running term-df final state == batch distinct-doc counts; dedup
+    emissions == one row per distinct content; windowed stats == batch
+    group-by on the synthetic event times."""
+    from phphinder_spark.streaming.replay import (
+        _EPOCH,
+        replay_dedup_shas,
+        replay_ingest_windows,
+        replay_running_term_df,
+        stage_batches,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "py"),
+            (1, "alpha gamma", "py"),
+            (2, "alpha beta", "go"),   # exact dup of doc 0
+            (61, "beta delta", "go"),  # lands in the next 1-minute window
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "waves")
+    schema = stage_batches(spark, docs, out, n_batches=2)
+
+    tdf = {
+        r["term"]: r["df"]
+        for r in replay_running_term_df(spark, out, schema).collect()
+    }
+    assert tdf == {"alpha": 3, "beta": 3, "gamma": 1, "delta": 1}
+
+    shas = [r["sha"] for r in replay_dedup_shas(spark, out, schema).collect()]
+    assert len(shas) == 3 and len(set(shas)) == 3  # one per distinct text
+
+    wins = {
+        (r["win_start"], r["lang"]): (r["n_docs"], r["n_bytes"])
+        for r in replay_ingest_windows(spark, out, schema).collect()
+    }
+    assert wins[(_EPOCH, "py")] == (2, 21)
+    assert wins[(_EPOCH, "go")] == (1, 10)
+    assert wins[(_EPOCH + 60, "go")] == (1, 10)
