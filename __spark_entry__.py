@@ -268,6 +268,16 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, pairs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same transitive closure, FORCED through the large/small-star
+    alternation (the deep-component 100-TB path) — the driver certifies
+    the star rewiring itself value-level, not just the label-prop fast
+    path the shallow LSH pairs would otherwise take."""
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, "text", threshold=0.6)
+    return dedup.dedup_clusters(docs, pairs, algorithm="star")
+
+
 def _q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(
         _embeddings(spark, sf_dir).withColumn(
@@ -491,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_ngram": _q_dedup_jaccard_ngram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
@@ -955,6 +966,8 @@ SELECT doc_id, score FROM (
         "dedup_embedding_srp": emb_srp,
         "dedup_minhash": minhash,
         "dedup_clusters": clusters,
+        # identical closure: cluster_id is algorithm-independent
+        "dedup_clusters_star": clusters,
         "dedup_simhash": simhash,
         "text_langid": langid,
         "text_fingerprint": fingerprint,

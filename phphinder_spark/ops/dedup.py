@@ -515,39 +515,43 @@ def _cc_star(
     Both operations preserve connectivity and never attach a node to a
     larger id, and their alternation reaches the fixpoint — a forest of
     stars rooted at each component's minimum — in O(log^2 n) rounds
-    (practically ~log(diameter); measured in scripts/cc_scale.py). Each
-    half-round is one groupBy + one generate on uniform node ids; the
-    fixpoint check is exact (equal counts + empty exceptAll) on
-    checkpointed frames."""
+    (practically ~log(diameter); measured in scripts/cc_scale.py).
+
+    Skew-safe by construction: no step materializes a node's neighbor
+    LIST (a collect_set row for a 10M-member component's hub would be an
+    executor OOM at 100 TB). Per-node state is only min(neighbor) — a
+    map-side-combining aggregate that cannot skew — and the re-attach is
+    an edges⋈mins equi-join on u whose hot keys AQE can split (the mins
+    side is 1 row/key). Fixpoint check is exact (equal counts + empty
+    exceptAll) on checkpointed frames."""
     if metrics is None:
         metrics = {"star_rounds": 0, "round_secs": []}
     metrics.setdefault("star_rounds", 0)
     metrics.setdefault("round_secs", [])
     for _ in range(max_iter):
         _t0 = _time.time()
+        # large-star: m(u) = min(N(u) ∪ {u}); every v > u re-attaches to m
+        mins = edges.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
         big = (
-            edges.groupBy("u")
-            .agg(F.collect_set("v").alias("nbrs"))
-            .select(
-                "u",
-                F.least(F.col("u"), F.array_min("nbrs")).alias("m"),
-                F.filter("nbrs", lambda v: v > F.col("u")).alias("out"),
-            )
-            .select(F.explode("out").alias("x"), F.col("m").alias("y"))
+            edges.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
             .where(F.col("x") != F.col("y"))
         )
         mid = _symmetrize(big).localCheckpoint(eager=True)
+        # small-star over the directed v < u view: m = min(N<(u)) (< u by
+        # construction); members N<(u) ∪ {u} except m re-attach to m
+        din = mid.where(F.col("v") < F.col("u"))
+        mins2 = din.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            mid.where(F.col("v") < F.col("u"))
-            .groupBy("u")
-            .agg(F.collect_set("v").alias("nbrs"))
-            .select(
-                "u",
-                F.array_min("nbrs").alias("m"),
-                F.array_union("nbrs", F.array(F.col("u"))).alias("mem"),
+            din.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(
+                mins2.select(F.col("u").alias("x"), F.col("m").alias("y"))
             )
-            .select(F.explode("mem").alias("x"), F.col("m").alias("y"))
-            .where(F.col("x") != F.col("y"))
         )
         new_edges = _symmetrize(small).localCheckpoint(eager=True)
         same = (
