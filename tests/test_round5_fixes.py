@@ -209,6 +209,26 @@ def test_auto_cc_stays_on_label_for_shallow_graphs(spark):
     assert m["star_rounds"] == 0 and m["label_rounds"] <= 3
 
 
+def test_star_cc_handles_high_degree_hubs(spark):
+    """Skew shape: one hub connected to 3000 leaves plus a chain tail —
+    the star steps must resolve it without materializing any neighbor
+    list (the agg+join formulation), and the hub's component label must
+    be the global min reached through the tail."""
+    from phphinder_spark.ops.dedup import connected_components
+
+    hub = 5000
+    pairs = [(hub, 10_000 + i) for i in range(3000)]
+    # chain tail hanging off the hub, reaching down to node 0
+    pairs += [(i, i + 1) for i in range(0, 8)] + [(8, hub)]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert set(out.values()) == {0}
+    assert len(out) == 3000 + 9 + 1
+
+
 # ------------------------------------------------------------ IVF fallback
 
 
