@@ -403,6 +403,18 @@ def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word n-gram with the
+    'benchmark' slice (doc_id % 41 == 0 stands in for an eval suite).
+    n=3 here because the synthetic 31-word vocabulary makes realistic
+    8-grams collision-free (500/500 clean except the benchmark rows);
+    3-grams produce the pass/fail mix worth hashing. The operator's
+    real-world default stays n=8."""
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    return textstats.ngram_contamination(docs, bench, n=3)
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -513,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": _q_gopher,
         "text_pii_scrub": _q_pii,
         "text_repetition": _q_repetition,
+        "text_decontaminate": _q_decontaminate,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "agg_lang_stats": _q_lang_stats,
         "corpus_sha256": _q_sha256,
@@ -1096,6 +1109,26 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
             "SELECT media_id, kind, octet_length(payload) AS n_bytes, "
             f"sha256_expected AS sha256 FROM read_parquet('{_MEDIA_FIXTURE}')"
         ),
+        # benchmark decontamination: same 3-gram construction the
+        # jaccard_ngram oracle proved value-identical; benchmark slice =
+        # doc_id % 41 = 0
+        "text_decontaminate": """
+WITH bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS g
+  FROM (SELECT {toks} AS toks FROM documents WHERE doc_id % 41 = 0)
+), dg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS g
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+), hits AS (
+  SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+  FROM dg d JOIN bg b ON d.g = b.g GROUP BY d.doc_id
+)
+SELECT x.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents x LEFT JOIN hits h ON x.doc_id = h.doc_id
+""".format(toks=_TOKS),
         # ---- streaming batch-replay equivalence: the Spark side ran the
         # REAL stream (micro-batches, state store, watermark); the oracle
         # is the batch semantics over the same rows

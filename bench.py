@@ -100,7 +100,8 @@ def main() -> None:
     # which stays the 14-query set for round-over-round comparability)
     extras: dict[str, float] = {}
     for name in ("dedup_clusters", "text_gopher_quality", "text_pii_scrub",
-                 "text_repetition", "pipeline_clean_corpus"):
+                 "text_repetition", "text_decontaminate",
+                 "pipeline_clean_corpus"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -143,6 +143,66 @@ def pii_scrub(
     )
 
 
+def _word_ngrams(col: str, n: int) -> F.Column:
+    """Sliding word n-grams of the lowercased token array (empty array
+    when the doc has fewer than n tokens)."""
+    toks = tokens_col(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene pass
+    (flag training documents sharing any word ``n``-gram with an
+    evaluation/benchmark corpus, so test material is excluded from the
+    training set; the n-gram-overlap rule used by the GPT-3 [Brown et
+    al. 2020, §C] / Llama data pipelines). Distinct from dedup: the
+    comparison is corpus-vs-BENCHMARK, and one shared gram flags a doc.
+
+    Returns one row per ``df`` doc: (doc_id, n_hits = distinct shared
+    n-grams, contaminated = n_hits > 0).
+
+    Scale: the benchmark gram set is tiny next to a 100-TB corpus (eval
+    suites are MBs), so it is distinct-ed and BROADCAST; corpus grams are
+    generated map-side (explode of a projection) and probed against the
+    broadcast hash set — the only shuffle is the per-doc count aggregate,
+    keyed on uniform doc ids. The corpus is never shuffled by gram."""
+    grams = _word_ngrams(col, n)
+    bgrams = (
+        benchmark.select(
+            F.explode(_word_ngrams(bench_col or col, n)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+    hits = (
+        doc_grams.join(F.broadcast(bgrams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -258,3 +258,36 @@ def test_ivf_broadcast_fallback_matches_literal_projection(spark, monkeypatch):
     monkeypatch.setattr(similarity, "_IVF_LITERAL_MAX_CENTROIDS", 4)
     fallback = run()
     assert fallback == literal
+
+
+# --------------------------------------------------- decontamination op
+
+
+def test_ngram_contamination_flags_shared_grams_only(spark):
+    """Docs sharing an n-gram with the benchmark are flagged with the
+    DISTINCT shared-gram count; clean and too-short docs report 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox appears"),        # shares 'quick brown fox'
+            (3, "entirely different words here now"),
+            (4, "fox jumps over the lazy dog again and quick brown fox too"),
+            (5, "too short"),                        # < n tokens vs bench grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "THE QUICK BROWN FOX JUMPS over nothing")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in textstats.ngram_contamination(docs, bench, n=3).collect()
+    }
+    # bench 3-grams: {the quick brown, quick brown fox, brown fox jumps,
+    #                 fox jumps over, jumps over nothing}
+    assert out[1] == (4, True)
+    assert out[2] == (1, True)
+    assert out[3] == (0, False)
+    assert out[4] == (2, True)   # 'fox jumps over' + 'quick brown fox'
+    assert out[5] == (0, False)
