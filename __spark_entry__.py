@@ -399,6 +399,19 @@ def _q_pipeline_clean(spark, sf_dir):
     )
 
 
+def _q_pipeline_clean_full(spark, sf_dir):
+    """The COMPLETE standard cleaning flow: gopher gate + PII scrub +
+    transitive minhash dedup + benchmark decontamination, intersected —
+    the oracle certifies the four-way joined result."""
+    from phphinder_spark.ops import pipeline
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    return pipeline.clean_corpus(
+        docs, min_words=20, min_stop_hits=1, benchmark=bench, decontam_n=3
+    )
+
+
 def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
@@ -527,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_decontaminate": _q_decontaminate,
         "pipeline_clean_corpus": _q_pipeline_clean,
+        "pipeline_clean_full": _q_pipeline_clean_full,
         "agg_lang_stats": _q_lang_stats,
         "corpus_sha256": _q_sha256,
         "text_langid": _q_langid,
@@ -807,6 +821,29 @@ JOIN ({pii_sql}) s ON k.doc_id = s.doc_id
 WHERE NOT k.is_dup AND q.gopher_pass
 """
 
+    # full pipeline: + the benchmark-decontamination leg (same 3-gram
+    # construction/benchmark slice as the text_decontaminate oracle)
+    decontam_sql = """
+WITH bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS g
+  FROM (SELECT {toks} AS toks FROM documents WHERE doc_id % 41 = 0)
+), dg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS g
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+)
+SELECT DISTINCT d.doc_id FROM dg d JOIN bg b ON d.g = b.g
+""".format(toks=_TOKS)
+    pipeline_full_sql = f"""
+SELECT k.doc_id, k.cluster_id, s.scrubbed
+FROM ({clusters}) k
+JOIN ({gopher1}) q ON k.doc_id = q.doc_id
+JOIN ({pii_sql}) s ON k.doc_id = s.doc_id
+WHERE NOT k.is_dup AND q.gopher_pass
+  AND k.doc_id NOT IN ({decontam_sql})
+"""
+
     profile_rows = ",\n    ".join(
         "('{lang}', [{words}])".format(
             lang=lang, words=",".join(f"'{w}'" for w in words)
@@ -1049,6 +1086,7 @@ SELECT doc_id, score FROM (
         # progressively scrubbed text in the SAME kind order as the op
         "text_pii_scrub": pii_sql,
         "pipeline_clean_corpus": pipeline_sql,
+        "pipeline_clean_full": pipeline_full_sql,
         "text_repetition": """
 WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
 grams AS (

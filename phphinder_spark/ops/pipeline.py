@@ -3,6 +3,7 @@ individual operators exist for:
 
     raw corpus --gopher quality gate--> --PII scrub--> --minhash-LSH
     pairs--> --connected components--> keep one doc per near-dup cluster
+    [--benchmark n-gram decontamination--> drop eval-contaminated docs]
 
 Each stage is one of the independently-oracled operators (ops/dedup.py,
 ops/textstats.py); the composition itself carries a value-level DuckDB
@@ -20,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from phphinder_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
-from phphinder_spark.ops.textstats import gopher_quality, pii_scrub
+from phphinder_spark.ops.textstats import (
+    gopher_quality,
+    ngram_contamination,
+    pii_scrub,
+)
 
 
 def clean_corpus(
@@ -30,24 +35,36 @@ def clean_corpus(
     jaccard_threshold: float = 0.6,
     min_words: int = 20,
     min_stop_hits: int = 2,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
 ) -> DataFrame:
     """(doc_id, cluster_id, scrubbed) for every KEPT document: quality
-    passes the Gopher rules, text is PII-scrubbed, and only the minimum
-    id of each near-dup cluster survives.
+    passes the Gopher rules, text is PII-scrubbed, only the minimum id
+    of each near-dup cluster survives, and (when ``benchmark`` is given)
+    no kept doc shares a word ``decontam_n``-gram with the benchmark —
+    the complete standard pre-training cleaning flow.
 
     Dedup runs over the FULL corpus (quality rejects must still suppress
     their near-duplicates' content — dropping them before pairing would
-    let a low-quality twin's sibling through as "unique"). The quality
-    and dedup verdicts then intersect on the keeper set."""
+    let a low-quality twin's sibling through as "unique"). The quality,
+    dedup, and decontamination verdicts then intersect on the keeper
+    set — each an id-keyed join on uniform doc ids."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=jaccard_threshold)
     clusters = dedup_clusters(df, pairs, id_col)
     quality = gopher_quality(
         df, text_col, id_col, min_words=min_words, min_stop_hits=min_stop_hits
     )
     scrub = pii_scrub(df, text_col, id_col)
-    return (
+    out = (
         clusters.join(quality.select("doc_id", "gopher_pass"), "doc_id")
         .join(scrub.select("doc_id", "scrubbed"), "doc_id")
         .where(~F.col("is_dup") & F.col("gopher_pass"))
-        .select("doc_id", "cluster_id", "scrubbed")
     )
+    if benchmark is not None:
+        decon = ngram_contamination(
+            df, benchmark, n=decontam_n, col=text_col, id_col=id_col
+        )
+        out = out.join(
+            decon.select("doc_id", "contaminated"), "doc_id"
+        ).where(~F.col("contaminated"))
+    return out.select("doc_id", "cluster_id", "scrubbed")

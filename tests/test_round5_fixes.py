@@ -291,3 +291,35 @@ def test_ngram_contamination_flags_shared_grams_only(spark):
     assert out[3] == (0, False)
     assert out[4] == (2, True)   # 'fox jumps over' + 'quick brown fox'
     assert out[5] == (0, False)
+
+
+def test_clean_corpus_decontamination_leg(spark):
+    """With a benchmark, clean_corpus additionally drops kept docs that
+    share an n-gram with it — and ONLY those (quality/dedup verdicts
+    unchanged)."""
+    from phphinder_spark.ops import pipeline
+
+    good = "the quick brown fox jumps over lazy dogs and cats with style "
+    other = "completely different tokens of that corpus and the long body "
+    docs = spark.createDataFrame(
+        [
+            (1, good * 4),       # keeper, but contaminated (shares grams)
+            (2, good * 4),       # exact dup of 1
+            (3, other * 4),      # keeper, clean
+            (4, "short"),        # quality reject
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox went elsewhere")],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"] for r in pipeline.clean_corpus(
+        docs, jaccard_threshold=0.5, min_words=20, min_stop_hits=2
+    ).collect()}
+    assert base == {1, 3}
+    full = {r["doc_id"] for r in pipeline.clean_corpus(
+        docs, jaccard_threshold=0.5, min_words=20, min_stop_hits=2,
+        benchmark=bench, decontam_n=3,
+    ).collect()}
+    assert full == {3}
