@@ -101,7 +101,7 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name in ("dedup_clusters", "text_gopher_quality", "text_pii_scrub",
                  "text_repetition", "text_decontaminate",
-                 "pipeline_clean_corpus"):
+                 "pipeline_clean_corpus", "pipeline_clean_full"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -49,6 +49,18 @@ def main() -> None:
     print("docs dropped by transitive dedup:",
           clusters.where("is_dup").count())
 
+    # ---- the composed cleaning flow (quality + PII + dedup + decontam)
+    from phphinder_spark.ops import pipeline
+    from phphinder_spark.ops.textstats import ngram_contamination
+
+    bench = docs.limit(10)   # stand-in for an eval/benchmark corpus
+    print("benchmark-contaminated docs:",
+          ngram_contamination(docs, bench, n=3).where("contaminated").count())
+    kept = pipeline.clean_corpus(
+        docs, min_words=20, min_stop_hits=1, benchmark=bench, decontam_n=3
+    )
+    print("docs surviving the full cleaning pipeline:", kept.count())
+
     # ---- similarity search
     queries = (emb.orderBy("vec_id").limit(3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
