@@ -100,6 +100,94 @@ def srp_bucket_col(vec_col: str | Column, table_planes: list[list[float]]) -> Co
 _IVF_LITERAL_MAX_CENTROIDS = 128
 
 
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 32,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) coarse-quantizer training for
+    ``ivf_topk(..., centroids=...)`` — the trained drop-in the IVF
+    docstring promises. Init = the ``n_centroids`` lowest-id vectors
+    (deterministic, same as untrained IVF); each iteration assigns every
+    vector to its max-cosine centroid and re-centers each cell on the
+    re-normalized mean. Empty cells keep their previous centroid.
+
+    Scale per iteration: one broadcast-argmax assignment (map-only over
+    the corpus — same shape as ivf_topk's fallback path) and one
+    (cid, pos)-keyed aggregation whose map-side combine reduces the
+    shuffle to k x dim partial sums. The returned k x dim table is
+    driver-sized by construction.
+
+    Note: cell means are floating-point sums whose order depends on the
+    physical partitioning, so re-training on a differently-partitioned
+    corpus may flip last-bit values (standard for distributed k-means);
+    the driver oracle therefore certifies the SAMPLED-centroid IVF,
+    whose structure is exactly replayable in SQL."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("cv")
+    ).cache()
+    init = (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select("cv")
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["cv"])) for i, r in enumerate(init)
+    ]
+    if not cents:
+        corpus.unpersist()
+        return []
+    spark = emb.sparkSession
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(cents, "cid long, centv array<double>")
+        adot = F.aggregate(
+            F.zip_with("cv", "centv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            corpus.crossJoin(F.broadcast(cdf))
+            .withColumn("csim", F.round(adot, 6))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("csim").alias("csim"),
+                        (-F.col("cid")).cast("long").alias("ncid"),
+                    )
+                ).alias("best"),
+                F.first("cv").alias("cv"),
+            )
+            .select((-F.col("best.ncid")).alias("cid"), "cv")
+        )
+        sums = (
+            assign.select("cid", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st.s,
+                ).alias("vec")
+            )
+            .collect()
+        )
+        import math
+
+        new = {}
+        for r in sums:
+            v = list(r["vec"])
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            new[int(r["cid"])] = [x / n for x in v]
+        cents = [(cid, new.get(cid, v)) for cid, v in cents]
+    corpus.unpersist()
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -109,14 +197,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: nearest-centroid cells only.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — deterministic
-    sampled-vector centroids (the standard k-means++-free initialization,
-    no Lloyd iterations), chosen so the WHOLE structure replays exactly in
-    ANSI SQL for the value-level DuckDB oracle; trained centroids are a
-    drop-in replacement for the collected centroid table. The centroid
+    By default centroids are the ``n_centroids`` lowest-id vectors —
+    deterministic sampled-vector centroids (the standard k-means++-free
+    initialization, no Lloyd iterations), chosen so the WHOLE structure
+    replays exactly in ANSI SQL for the value-level DuckDB oracle. Pass
+    ``centroids`` (e.g. from ``train_centroids`` — spherical-k-means
+    Lloyd) to use a trained coarse quantizer instead; everything
+    downstream (assignment, probing, scoring) is identical. The centroid
     "training" step collects the tiny (n_centroids x dim) table to the
     driver — the standard IVF coarse-quantizer shape — and every corpus
     vector is assigned to its max-cosine centroid by a PURE PROJECTION
@@ -142,19 +233,20 @@ def ivf_topk(
     corpus = emb.select(
         F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("cv")
     )
-    cent_rows = (
-        corpus.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centv"))
-        .collect()
-    )
-    if not cent_rows:
+    if centroids is not None:
+        cent_pairs = [(int(c), list(v)) for c, v in centroids]
+    else:
+        cent_pairs = [
+            (int(r["vec_id"]), list(r["cv"]))
+            for r in corpus.orderBy("vec_id").limit(n_centroids).collect()
+        ]
+    if not cent_pairs:
         return emb.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
+    cent_rows = [{"cid": c, "centv": v} for c, v in cent_pairs]
     cents = emb.sparkSession.createDataFrame(
-        [(int(r["cid"]), list(r["centv"])) for r in cent_rows],
-        "cid long, centv array<double>",
+        cent_pairs, "cid long, centv array<double>"
     )
     if len(cent_rows) <= _IVF_LITERAL_MAX_CENTROIDS:
         # max-by-(csim, -cid): struct comparison is field-lexicographic, so
