@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -141,50 +143,52 @@ def train_centroids(
         corpus.unpersist()
         return []
     spark = emb.sparkSession
-    for _ in range(n_iter):
-        cdf = spark.createDataFrame(cents, "cid long, centv array<double>")
-        adot = F.aggregate(
-            F.zip_with("cv", "centv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assign = (
-            corpus.crossJoin(F.broadcast(cdf))
-            .withColumn("csim", F.round(adot, 6))
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("csim").alias("csim"),
-                        (-F.col("cid")).cast("long").alias("ncid"),
-                    )
-                ).alias("best"),
-                F.first("cv").alias("cv"),
+    try:
+        for _ in range(n_iter):
+            cdf = spark.createDataFrame(cents, "cid long, centv array<double>")
+            adot = F.aggregate(
+                F.zip_with("cv", "centv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            .select((-F.col("best.ncid")).alias("cid"), "cv")
-        )
-        sums = (
-            assign.select("cid", F.posexplode("cv").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda st: st.s,
-                ).alias("vec")
+            assign = (
+                corpus.crossJoin(F.broadcast(cdf))
+                .withColumn("csim", F.round(adot, 6))
+                .groupBy("vec_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("csim").alias("csim"),
+                            (-F.col("cid")).cast("long").alias("ncid"),
+                        )
+                    ).alias("best"),
+                    F.first("cv").alias("cv"),
+                )
+                .select((-F.col("best.ncid")).alias("cid"), "cv")
             )
-            .collect()
-        )
-        import math
-
-        new = {}
-        for r in sums:
-            v = list(r["vec"])
-            n = math.sqrt(sum(x * x for x in v)) or 1.0
-            new[int(r["cid"])] = [x / n for x in v]
-        cents = [(cid, new.get(cid, v)) for cid, v in cents]
-    corpus.unpersist()
+            sums = (
+                assign.select("cid", F.posexplode("cv").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("s"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                        lambda st: st.s,
+                    ).alias("vec")
+                )
+                .collect()
+            )
+            new = {}
+            for r in sums:
+                v = list(r["vec"])
+                n = math.sqrt(sum(x * x for x in v)) or 1.0
+                new[int(r["cid"])] = [x / n for x in v]
+            cents = [(cid, new.get(cid, v)) for cid, v in cents]
+    finally:
+        # an exception mid-iteration (collect/createDataFrame failure) must
+        # not leak the cached normalized corpus (round-5 advice)
+        corpus.unpersist()
     return cents
 
 

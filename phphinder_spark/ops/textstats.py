@@ -156,6 +156,13 @@ def _word_ngrams(col: str, n: int) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# the benchmark gram set is BROADCAST (driver + every executor holds a
+# copy): real eval suites are MBs, so a gram set past this row count means
+# the caller passed a corpus-sized frame — fail fast with guidance instead
+# of an opaque broadcast/driver OOM (mirrors KVStorage._MAX_COMMIT_ROWS)
+_MAX_BENCH_GRAM_ROWS = 5_000_000
+
+
 def ngram_contamination(
     df: DataFrame,
     benchmark: DataFrame,
@@ -178,14 +185,32 @@ def ngram_contamination(
     suites are MBs), so it is distinct-ed and BROADCAST; corpus grams are
     generated map-side (explode of a projection) and probed against the
     broadcast hash set — the only shuffle is the per-doc count aggregate,
-    keyed on uniform doc ids. The corpus is never shuffled by gram."""
+    keyed on uniform doc ids. The corpus is never shuffled by gram. The
+    broadcast side is guarded: a benchmark whose distinct gram set exceeds
+    ``_MAX_BENCH_GRAM_ROWS`` raises with guidance (that input is a
+    corpus-vs-corpus comparison — use the dedup operators' shuffled
+    joins, not a broadcast probe)."""
     grams = _word_ngrams(col, n)
     bgrams = (
         benchmark.select(
             F.explode(_word_ngrams(bench_col or col, n)).alias("g")
         )
         .distinct()
+        # evaluated once here; the count below and the broadcast probe
+        # both read the materialized blocks
+        .localCheckpoint(eager=True)
     )
+    n_bgrams = bgrams.count()
+    if n_bgrams > _MAX_BENCH_GRAM_ROWS:
+        raise ValueError(
+            f"ngram_contamination benchmark side has {n_bgrams} distinct "
+            f"{n}-grams, over _MAX_BENCH_GRAM_ROWS={_MAX_BENCH_GRAM_ROWS}: "
+            "the benchmark frame is broadcast to every executor, so a "
+            "corpus-sized input here is a wrong operator choice — for "
+            "corpus-vs-corpus overlap use the dedup operators "
+            "(minhash_lsh_pairs / jaccard_ngram_pairs), which shuffle "
+            "instead of broadcasting"
+        )
     doc_grams = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
     hits = (
         doc_grams.join(F.broadcast(bgrams), "g")

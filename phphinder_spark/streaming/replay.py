@@ -27,6 +27,7 @@ same rows). Event times are derived deterministically from doc ids
 from __future__ import annotations
 
 import itertools
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -83,6 +84,20 @@ def _run(writer, name: str, timeout: int = 600) -> None:
         raise RuntimeError(f"streaming replay {name!r} did not finish in {timeout}s")
 
 
+def _materialize(spark: SparkSession, name: str, result: DataFrame, ckpt: str) -> DataFrame:
+    """Pin the memory-sink result into session blocks (lineage cut), then
+    drop the sink's temp view and the stream's checkpoint dir — repeated
+    replays in a long-lived session must not accumulate catalog entries or
+    on-disk checkpoint directories (round-5 advice). Callers invoke this
+    AFTER awaitTermination, when neither artifact is needed again."""
+    try:
+        out = result.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def replay_running_term_df(
     spark: SparkSession,
     batches_dir: str,
@@ -94,15 +109,22 @@ def replay_running_term_df(
     per term, so max(df) per term IS the final state."""
     name = f"replay_term_df_{next(_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="phph_replay_tdf_")
-    _run(
-        running_term_df_stream(_file_stream(spark, batches_dir, schema), col=col)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt),
-        name,
+    try:
+        _run(
+            running_term_df_stream(_file_stream(spark, batches_dir, schema), col=col)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt),
+            name,
+        )
+    except BaseException:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise
+    return _materialize(
+        spark, name, spark.table(name).groupBy("term").agg(F.max("df").alias("df")), ckpt
     )
-    return spark.table(name).groupBy("term").agg(F.max("df").alias("df"))
 
 
 def replay_dedup_shas(
@@ -123,15 +145,20 @@ def replay_dedup_shas(
         event_time_col="event_time",
         watermark=watermark,
     )
-    _run(
-        deduped.select(F.sha2(F.col(content_col), 256).alias("sha"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt),
-        name,
-    )
-    return spark.table(name).select("sha")
+    try:
+        _run(
+            deduped.select(F.sha2(F.col(content_col), 256).alias("sha"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt),
+            name,
+        )
+    except BaseException:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise
+    return _materialize(spark, name, spark.table(name).select("sha"), ckpt)
 
 
 def replay_ingest_windows(
@@ -149,19 +176,29 @@ def replay_ingest_windows(
     stream = _file_stream(spark, batches_dir, schema).withColumnRenamed(
         content_col, "content"
     )
-    _run(
-        windowed_ingest_stats(
-            stream, window=window, watermark="30 days", group_col=group_col
+    try:
+        _run(
+            windowed_ingest_stats(
+                stream, window=window, watermark="30 days", group_col=group_col
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt),
+            name,
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt),
+    except BaseException:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise
+    return _materialize(
+        spark,
         name,
-    )
-    return spark.table(name).select(
-        F.col("window.start").cast("long").alias("win_start"),
-        F.col(group_col),
-        F.col("n_docs"),
-        F.col("n_bytes"),
+        spark.table(name).select(
+            F.col("window.start").cast("long").alias("win_start"),
+            F.col(group_col),
+            F.col("n_docs"),
+            F.col("n_bytes"),
+        ),
+        ckpt,
     )

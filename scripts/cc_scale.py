@@ -44,21 +44,10 @@ def build_spark(cpus: int = 32):
     )
 
 
-def chain_edges(spark, n_chains: int, length: int):
-    """n_chains disjoint path graphs, each of the given length (diameter
-    length-1). Node ids interleave chains so edge keys stay uniform."""
-    return (
-        spark.range(n_chains * (length - 1))
-        .select(
-            (F.col("id") % n_chains * length + F.col("id") / (F.lit(n_chains))).cast("long")
-        )
-        # simpler exact construction below; the range trick above is
-        # replaced to keep ids dense and readable:
-    )
-
-
 def chain_edges_simple(spark, n_chains: int, length: int):
-    # node id = chain * length + pos; edge (id, id+1) for pos < length-1
+    """n_chains disjoint path graphs, each of the given length (diameter
+    length-1); node id = chain * length + pos, edge (id, id+1) for
+    pos < length-1 — dense ids, uniform edge keys."""
     return (
         spark.range(n_chains * length)
         .withColumn("pos", F.col("id") % length)
