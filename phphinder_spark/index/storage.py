@@ -460,6 +460,15 @@ class KVStorage(IndexStorage):
     def _open(self, flag: str = "r"):
         return self._dbm.open(self.db_path, flag)
 
+    def _raise_too_big(self, what: str) -> None:
+        raise ValueError(
+            f"KVStorage.commit batch of {what} exceeds "
+            f"_MAX_COMMIT_ROWS={self._MAX_COMMIT_ROWS}: a per-key KV "
+            "store is the interactive backend — use "
+            "ParquetSnapshotStorage (bulk MERGE snapshots) for batches "
+            "this size"
+        )
+
     @property
     def is_empty(self) -> bool:
         with self._open("r") as db:
@@ -499,20 +508,25 @@ class KVStorage(IndexStorage):
         # driver-memory bound: rows stream partition-at-a-time via
         # toLocalIterator (never a whole-batch collect); the only
         # whole-batch driver structures are the id set and the reverse
-        # post-key map — O(batch ids + batch vocabulary), not O(rows)
-        n_rows = new_docs.count() + new_postings.count()
+        # post-key map — O(batch ids + batch vocabulary), not O(rows).
+        # Each input frame is evaluated exactly ONCE (localCheckpoint at
+        # entry): the id scan, the guard counts and the insert streams all
+        # read the same materialized blocks, so a non-deterministic input
+        # (rand/monotonically_increasing_id/mutable source) cannot make
+        # the delete arm's batch_ids diverge from the inserted rows — and
+        # the guard no longer pays two full-DAG count jobs per commit.
+        new_docs = new_docs.localCheckpoint(eager=True)
+        new_postings = new_postings.localCheckpoint(eager=True)
+        batch_ids: set[int] = set()
+        n_docs = 0
+        for r in new_docs.select("doc_id").toLocalIterator():
+            batch_ids.add(int(r["doc_id"]))
+            n_docs += 1
+            if n_docs > self._MAX_COMMIT_ROWS:
+                self._raise_too_big(f"> {self._MAX_COMMIT_ROWS} doc rows")
+        n_rows = n_docs + new_postings.count()
         if n_rows > self._MAX_COMMIT_ROWS:
-            raise ValueError(
-                f"KVStorage.commit batch of {n_rows} rows exceeds "
-                f"_MAX_COMMIT_ROWS={self._MAX_COMMIT_ROWS}: a per-key KV "
-                "store is the interactive backend — use "
-                "ParquetSnapshotStorage (bulk MERGE snapshots) for batches "
-                "this size"
-            )
-        batch_ids = {
-            int(r["doc_id"])
-            for r in new_docs.select("doc_id").toLocalIterator()
-        }
+            self._raise_too_big(f"{n_rows} rows")
         superseded = batch_ids | {int(i) for i in replaced_doc_ids}
         with self._open("w") as db:
             if b"meta:docs_schema" not in db:

@@ -76,3 +76,88 @@ def test_replay_cleans_checkpoint_and_temp_view(spark, tmp_path):
     assert views_after == views_before
     dirs_after = {d for d in os.listdir("/tmp") if d.startswith("phph_replay_tdf_")}
     assert dirs_after == dirs_before
+
+
+# ------------------------------------------- KV commit single-evaluation
+
+
+def test_kvstorage_commit_consistent_under_nondeterministic_input(spark, tmp_path):
+    """A genuinely non-deterministic docs frame (per-evaluation random
+    filter) must still produce an internally consistent store: the delete
+    arm's id set and the insert arm's rows come from ONE materialization,
+    so no posting/docpost key can reference a doc that was scanned but
+    never inserted (or vice versa)."""
+    import random as _random
+
+    from phphinder_spark.index.storage import KVStorage
+
+    base = spark.createDataFrame(
+        [(i, f"body tok{i} words") for i in range(60)], "doc_id long, text string"
+    )
+    flip = F.udf(lambda: _random.random(), "double").asNondeterministic()
+    nondet_docs = base.where(flip() < 0.5)
+    postings = base.select(
+        F.lit("text").alias("field"),
+        F.concat(F.lit("tok"), F.col("doc_id")).alias("term"),
+        "doc_id",
+        F.lit(1).cast("long").alias("tf"),
+        F.array(F.lit(1)).alias("positions"),
+    )
+
+    store = KVStorage(spark, str(tmp_path / "kvnd"))
+    # seed every id so the delete arm has something to diverge on
+    store.commit(base, postings, [])
+    store.commit(nondet_docs, postings, [])
+
+    with store._open("r") as db:
+        doc_ids = {int(k[4:]) for k in db.keys() if k.startswith(b"doc:")}
+        docpost_ids = {int(k[8:]) for k in db.keys() if k.startswith(b"docpost:")}
+        import json as _json
+
+        posted_ids = {
+            int(i)
+            for k in db.keys()
+            if k.startswith(b"post:")
+            for i in _json.loads(db[k])
+        }
+    # postings were committed for every id, so docs must cover them all:
+    # an id scanned-but-not-inserted (the pre-fix divergence) would leave
+    # post:/docpost: keys pointing at a missing doc: key
+    assert posted_ids <= doc_ids
+    assert docpost_ids <= doc_ids
+    assert doc_ids == set(range(60))
+
+
+# --------------------------------------------- CC id-set contract + probe
+
+
+def test_cc_self_pairs_present_in_all_algorithms(spark):
+    """Ids appearing ONLY in self-pairs (a, a) must come back as singleton
+    clusters from every algorithm — previously 'star' silently dropped
+    them while 'label' kept them."""
+    from phphinder_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (9, 9), (3, 3)], "a_id long, b_id long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+    for algo in ("label", "star", "auto"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == expected, algo
+
+
+def test_cc_all_self_pairs_edgeless_graph(spark):
+    """Degenerate input: every pair is a self-loop — no edges survive the
+    strip, every id is its own cluster, no algorithm raises."""
+    from phphinder_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame([(4, 4), (8, 8)], "a_id long, b_id long")
+    for algo in ("label", "star", "auto"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == {4: 4, 8: 8}, algo
