@@ -432,9 +432,19 @@ def connected_components(
         raise ValueError(
             f"algorithm must be 'auto', 'label' or 'star', got {algorithm!r}"
         )
+    # self-loops (a, a) carry no connectivity: strip them before either
+    # algorithm (large-star would silently drop a node whose ONLY pairs
+    # are self-pairs), and re-attach the full distinct id universe at the
+    # end so all three algorithms return the identical id set
+    ids = (
+        pairs.select(F.col(a_col).alias("id"))
+        .unionByName(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -444,7 +454,7 @@ def connected_components(
     metrics.setdefault("star_rounds", 0)
     metrics.setdefault("round_secs", [])
     if algorithm == "star":
-        return _cc_star(edges, max_iter, metrics)
+        return _attach_singletons(ids, _cc_star(edges, max_iter, metrics))
     label_rounds = max_iter if algorithm == "label" else min(switch_after, max_iter)
     labels = edges.groupBy("u").agg(F.min("v").alias("l")).select(
         "u", F.least("u", "l").alias("l")
@@ -475,7 +485,10 @@ def connected_components(
         metrics["label_rounds"] += 1
         metrics["round_secs"].append(round(_time.time() - _t0, 3))
         if changed == 0:
-            return labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id"))
+            return _attach_singletons(
+                ids,
+                labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id")),
+            )
     if algorithm == "label":
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
@@ -490,14 +503,34 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    return _cc_star(seeded, max_iter - label_rounds, metrics)
+    return _attach_singletons(ids, _cc_star(seeded, max_iter - label_rounds, metrics))
 
 
-def _symmetrize(directed: DataFrame) -> DataFrame:
+def _attach_singletons(ids: DataFrame, labels: DataFrame) -> DataFrame:
+    """Left-join the labeled nodes back onto the full distinct id universe
+    of the input pairs: ids whose only pairs were self-loops (stripped
+    before the algorithms run) come back as their own cluster — the
+    documented 'every id appearing in pairs' contract, algorithm-
+    independent."""
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+
+
+def _symmetrize_flag(directed: DataFrame) -> DataFrame:
+    """Symmetric distinct edge set carrying a per-edge ``chg`` flag (did
+    this round's rewiring step produce the edge by CHANGING something?).
+    The distinct is a groupBy/max — physically the same single shuffle as
+    ``.distinct()``, so the flag is free; the fixpoint probe then scans
+    the checkpointed result for a flag instead of paying a count +
+    exceptAll shuffle pair per round (round-5 'What's wrong' #1)."""
     return (
-        directed.select(F.col("x").alias("u"), F.col("y").alias("v"))
-        .unionByName(directed.select(F.col("y").alias("u"), F.col("x").alias("v")))
-        .distinct()
+        directed.select(F.col("x").alias("u"), F.col("y").alias("v"), "chg")
+        .unionByName(
+            directed.select(F.col("y").alias("u"), F.col("x").alias("v"), "chg")
+        )
+        .groupBy("u", "v")
+        .agg(F.max("chg").alias("chg"))
     )
 
 
@@ -522,8 +555,19 @@ def _cc_star(
     executor OOM at 100 TB). Per-node state is only min(neighbor) — a
     map-side-combining aggregate that cannot skew — and the re-attach is
     an edges⋈mins equi-join on u whose hot keys AQE can split (the mins
-    side is 1 row/key). Fixpoint check is exact (equal counts + empty
-    exceptAll) on checkpointed frames."""
+    side is 1 row/key).
+
+    Fixpoint detection comes from the rewiring steps THEMSELVES: each
+    emitted edge carries a ``chg`` flag (large-star: the minimum it
+    re-attached to differs from the node the neighbor was attached to;
+    small-star: any first-branch re-attach row), folded through the
+    distinct by a same-shuffle groupBy/max. Flags all false ⟺ both steps
+    reproduced their input ⟺ the edge set is a star forest (each step
+    strictly decreases the Kiveris potential whenever it changes the
+    graph, so a changed graph can never round-trip back to itself). The
+    probe is a limit-1 scan of the already-checkpointed frames — the
+    previous count + exceptAll pair shuffled both edge sets once more per
+    round for the same answer."""
     if metrics is None:
         metrics = {"star_rounds": 0, "round_secs": []}
     metrics.setdefault("star_rounds", 0)
@@ -531,34 +575,48 @@ def _cc_star(
     for _ in range(max_iter):
         _t0 = _time.time()
         # large-star: m(u) = min(N(u) ∪ {u}); every v > u re-attaches to m
+        # (a no-op — chg false — exactly when m == u, i.e. the edge (u, v)
+        # maps to itself)
         mins = edges.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least("u", "mn").alias("m")
         )
         big = (
             edges.join(mins, "u")
             .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .select(
+                F.col("v").alias("x"),
+                F.col("m").alias("y"),
+                (F.col("m") != F.col("u")).alias("chg"),
+            )
             .where(F.col("x") != F.col("y"))
         )
-        mid = _symmetrize(big).localCheckpoint(eager=True)
+        mid = _symmetrize_flag(big).localCheckpoint(eager=True)
         # small-star over the directed v < u view: m = min(N<(u)) (< u by
-        # construction); members N<(u) ∪ {u} except m re-attach to m
+        # construction); members N<(u) ∪ {u} except m re-attach to m. The
+        # first branch rewires (chg true); the second re-emits the
+        # existing (u, m) edge (chg false)
         din = mid.where(F.col("v") < F.col("u"))
         mins2 = din.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             din.join(mins2, "u")
             .where(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .select(
+                F.col("v").alias("x"), F.col("m").alias("y"), F.lit(True).alias("chg")
+            )
             .unionByName(
-                mins2.select(F.col("u").alias("x"), F.col("m").alias("y"))
+                mins2.select(
+                    F.col("u").alias("x"),
+                    F.col("m").alias("y"),
+                    F.lit(False).alias("chg"),
+                )
             )
         )
-        new_edges = _symmetrize(small).localCheckpoint(eager=True)
+        new_edges = _symmetrize_flag(small).localCheckpoint(eager=True)
         same = (
-            new_edges.count() == edges.count()
-            and new_edges.exceptAll(edges).limit(1).count() == 0
+            new_edges.where("chg").limit(1).count() == 0
+            and mid.where("chg").limit(1).count() == 0
         )
-        edges = new_edges
+        edges = new_edges.select("u", "v")
         metrics["star_rounds"] += 1
         metrics["round_secs"].append(round(_time.time() - _t0, 3))
         if same:

@@ -116,9 +116,7 @@ def _session():
 
 @given(
     st.lists(
-        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
-            lambda p: p[0] != p[1]
-        ),
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
         max_size=25,
     ),
     st.sampled_from(["label", "star", "auto"]),
@@ -127,8 +125,10 @@ def _session():
 def test_connected_components_equals_union_find(pairs, algorithm):
     """Every Spark CC strategy (min-label propagation, large/small-star
     alternation, and the auto switchover) == driver-side union-find on
-    random graphs (chains, cycles, multi-component, self-free). auto uses
-    switch_after=1 so the star fallback path actually runs."""
+    random graphs (chains, cycles, multi-component, self-loops included —
+    round-6: self-pair-only ids must surface as singletons from every
+    algorithm). auto uses switch_after=1 so the star fallback path
+    actually runs."""
     import pytest
 
     spark = _session()
