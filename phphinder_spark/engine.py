@@ -49,6 +49,15 @@ _MATCH_SCHEMA = "doc_id long, qvalue string, field string, seq long"
 # extra join job dominates until the linear scan term catches up)
 _TYPO_AUTO_DICT_THRESHOLD = 150_000
 
+# Driver-side term->fields dictionary cache cap: under this many (field,
+# term) dictionary rows the existence prefetch is answered from a local
+# dict (ZERO Spark jobs per query — the batched prefetch collect was the
+# last structural per-query driver round-trip in memory-mode serving);
+# above it, fall back to the batched probe job. ~30k rows at sf0.1;
+# 2M rows is ~a few hundred MB of driver strings — dictionary-sized,
+# the same artifact segment-serving persists to parquet.
+_DICT_DRIVER_CACHE_MAX = 2_000_000
+
 # Recommended session conf for INTERACTIVE point-query serving (sub-second
 # single searches over a built index), measured on the Alice corpus
 # (scripts/alice_bench.py, local[8]): AQE surfaces every shuffle stage of a
@@ -149,6 +158,11 @@ class SparkSearchEngine:
         self._source_df: DataFrame | None = None
         self._max_id = 0
         self._dict_size = -1  # lazy |dictionary| for typo_strategy='auto'
+        # driver-side term -> (fields...) dictionary (built lazily on the
+        # first search, under _DICT_DRIVER_CACHE_MAX; None = too big or
+        # not yet attempted — _tf_cache_tried disambiguates)
+        self._tf_cache: dict[str, tuple[str, ...]] | None = None
+        self._tf_cache_tried = False
         self._shadow_ok: dict[str, bool] = {}  # <field>#raw presence probes
         # cold-serving mode (from_index_dir(serve="segments")): postings
         # access goes through the compressed segment store with (field,
@@ -263,6 +277,8 @@ class SparkSearchEngine:
             self.schema, self.storage.docs(), self.storage.postings()
         ).cache()
         self._dict_size = -1
+        self._tf_cache = None
+        self._tf_cache_tried = False
         self._shadow_ok = {}
         # a flush hands ownership to the storage: the persisted segment
         # store no longer reflects the index, so postings access must stop
@@ -284,6 +300,8 @@ class SparkSearchEngine:
         self._buffer = []
         self._max_id = 0
         self._dict_size = -1
+        self._tf_cache = None
+        self._tf_cache_tried = False
         self._shadow_ok = {}
         self._serve = "postings"
         self._segments_df = None
@@ -308,6 +326,8 @@ class SparkSearchEngine:
         self.index = build_index(self._source_df, self.schema).cache()
         self._max_id = -1
         self._dict_size = -1
+        self._tf_cache = None
+        self._tf_cache_tried = False
         self._shadow_ok = {}
         self._serve = "postings"
         self._segments_df = None
@@ -901,10 +921,30 @@ class SparkSearchEngine:
         matches = self._compute(query, self._empty_matches(), ctx, phrase, top=True)
         return self._finalize(query, matches, ctx, phrase)
 
+    def _term_field_cache(self) -> dict[str, tuple[str, ...]] | None:
+        """Driver-side term -> fields dictionary, built ONCE per index
+        (from dict_df — the persisted dictionary artifact in segment mode,
+        the shadow-free postings dictionary in memory mode) when the
+        dictionary fits under ``_DICT_DRIVER_CACHE_MAX`` rows; None above
+        the cap. Turns the per-query existence prefetch into a local dict
+        probe — zero Spark jobs per warm query (round-5 verdict #3)."""
+        if not self._tf_cache_tried:
+            self._tf_cache_tried = True
+            if self._dict_size < 0:
+                self._dict_size = self.index.dict_df.count()
+            if self._dict_size <= _DICT_DRIVER_CACHE_MAX:
+                by_term: dict[str, list[str]] = {}
+                for r in self.index.dict_df.select("term", "field").collect():
+                    by_term.setdefault(r["term"], []).append(r["field"])
+                self._tf_cache = {t: tuple(fs) for t, fs in by_term.items()}
+        return self._tf_cache
+
     def _prefetch_term_hits(self, query) -> dict[tuple[str, str], bool]:
-        """One batched dictionary probe for every term leaf in the AST —
-        replaces per-leaf existence-check jobs (the reference's lazy typo
-        fallback needs a hit count per term, SURVEY.md §4)."""
+        """(term, field) existence for every term leaf in the AST — from
+        the driver-side dictionary cache when it fits (no Spark job), else
+        ONE batched dictionary probe for the whole AST. Never a per-leaf
+        existence-check job (the reference's lazy typo fallback needs a
+        hit count per term, SURVEY.md §4)."""
         terms: set[str] = set()
 
         def walk(q) -> None:
@@ -919,10 +959,15 @@ class SparkSearchEngine:
         walk(query)
         if not terms:
             return {}
-        # (term, field) existence: probe the cached postings in memory mode
-        # (no extra artifact; the first-query dictionary build costs ~1-2 s
-        # at sf0.1), but the persisted DICTIONARY in segment-serving mode —
-        # probing postings there would decode payloads
+        cache = self._term_field_cache()
+        if cache is not None:
+            return {
+                (t, f): True for t in terms for f in cache.get(t, ())
+            }
+        # dictionary over the cap: one batched probe job for the whole AST
+        # — the persisted DICTIONARY in segment-serving mode (probing
+        # postings there would decode payloads), the cached postings frame
+        # in memory mode
         if self._serve == "segments":
             src = self.index.dict_df
         else:

@@ -128,6 +128,126 @@ def test_kvstorage_commit_consistent_under_nondeterministic_input(spark, tmp_pat
     assert doc_ids == set(range(60))
 
 
+# --------------------------------------- driver-side dictionary prefetch
+
+
+def _jobs_for(spark, fn) -> int:
+    import itertools
+
+    sc = spark.sparkContext
+    group = f"r6jobs-{next(_jobs_for._seq)}"
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+_jobs_for._seq = __import__("itertools").count()
+
+
+@pytest.fixture(scope="module")
+def r6_engine(spark):
+    from phphinder_spark.analysis import Analyzer
+    from phphinder_spark.engine import SparkSearchEngine
+    from phphinder_spark.schema import IS_FULLTEXT, IS_INDEXED, IS_STORED, SearchSchema
+
+    schema = SearchSchema(
+        {"text": IS_INDEXED | IS_STORED | IS_FULLTEXT},
+        analyzer=Analyzer.lowercase_only(),
+        name="r6",
+    )
+    rows = [(i, f"alpha beta doc {i} spark table gamma") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eng = SparkSearchEngine(spark, schema)
+    eng.index_dataframe(docs)
+    eng.index.postings.cache().count()
+    eng.index.stats()
+    return eng
+
+
+def test_prefetch_is_jobless_once_dictionary_cached(spark, r6_engine):
+    """After the one-time driver-side dictionary build, the existence
+    prefetch answers from a local dict — ZERO Spark jobs per query
+    (round-5 verdict #3: the batched prefetch collect was the last
+    structural per-query driver round-trip in memory-mode serving)."""
+    from phphinder_spark.query import QueryParser
+    from phphinder_spark.query.parser import ANY_FIELD
+
+    q = QueryParser(ANY_FIELD).parse("alpha beta gamma")
+    r6_engine._prefetch_term_hits(q)  # one-time cache build
+    hits = {}
+    n = _jobs_for(spark, lambda: hits.update(r6_engine._prefetch_term_hits(q)))
+    assert n == 0
+    assert hits[("alpha", "text")] is True
+    assert ("nosuchterm", "text") not in hits
+
+
+def test_prefetch_falls_back_to_batched_job_over_cap(spark, r6_engine, monkeypatch):
+    """Dictionary over the cap: the driver cache is skipped and the single
+    batched probe job returns the identical map."""
+    from phphinder_spark import engine as engine_mod
+    from phphinder_spark.query import QueryParser
+    from phphinder_spark.query.parser import ANY_FIELD
+
+    q = QueryParser(ANY_FIELD).parse("alpha beta gamma nosuchterm")
+    cached = r6_engine._prefetch_term_hits(q)
+    monkeypatch.setattr(engine_mod, "_DICT_DRIVER_CACHE_MAX", 0)
+    monkeypatch.setattr(r6_engine, "_tf_cache", None)
+    monkeypatch.setattr(r6_engine, "_tf_cache_tried", False)
+    batched = r6_engine._prefetch_term_hits(q)
+    assert r6_engine._term_field_cache() is None
+    assert batched == cached
+    assert batched[("alpha", "text")] is True
+
+
+def test_search_results_identical_with_and_without_cache(spark, r6_engine, monkeypatch):
+    from phphinder_spark import engine as engine_mod
+
+    with_cache = sorted(
+        (r["doc_id"], r["weight"]) for r in r6_engine.search_df("alpha beta").collect()
+    )
+    monkeypatch.setattr(engine_mod, "_DICT_DRIVER_CACHE_MAX", 0)
+    monkeypatch.setattr(r6_engine, "_tf_cache", None)
+    monkeypatch.setattr(r6_engine, "_tf_cache_tried", False)
+    without = sorted(
+        (r["doc_id"], r["weight"]) for r in r6_engine.search_df("alpha beta").collect()
+    )
+    assert with_cache == without and len(with_cache) == 30
+
+
+# ------------------------------------------- trained-IVF committed fixture
+
+
+def test_ivf_centroid_fixture_drives_trained_entry(spark):
+    """The committed centroid fixture is well-formed (16 x 64, unit-norm)
+    and the ann_ivf_trained driver entry returns full top-k rows over it
+    (its value-level certification is the DuckDB oracle row)."""
+    import math
+
+    import __spark_entry__ as em
+
+    cents = spark.read.parquet(em._IVF_CENT_FIXTURE).collect()
+    assert len(cents) == 16
+    for r in cents:
+        v = list(r["centv"])
+        assert len(v) == 64
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    out = em._q_ann_ivf_trained(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 50  # 5 queries x k=10
+    assert {r["query_id"] for r in out} == {
+        r["vec_id"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    }
+
+
 # --------------------------------------------- CC id-set contract + probe
 
 
