@@ -336,6 +336,33 @@ def _q_ann_ivf(spark, sf_dir):
     ).select("query_id", "vec_id")
 
 
+# committed spherical-k-means centroid table (16 x dim, trained once by
+# scripts/make_ivf_centroid_fixture.py over the sf0.01 embeddings): the
+# TRAINED IVF path certifies value-level because Spark and DuckDB replay
+# assignment/probing/ranking over the SAME committed literals — the
+# FP-sum-order caveat of distributed k-means training never reaches the
+# oracle (same pattern as the stem_map fixture for the stemmer chain)
+_IVF_CENT_FIXTURE = "/root/repo/tests/fixtures/ivf_centroids_16.parquet"
+
+
+def _q_ann_ivf_trained(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cents = [
+        (int(r["cid"]), list(r["centv"]))
+        for r in spark.read.parquet(_IVF_CENT_FIXTURE).collect()
+    ]
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_probe=4, centroids=cents
+    ).select("query_id", "vec_id")
+
+
 def _q_token_counts(spark, sf_dir):
     out = textstats.token_counts(_documents(spark, sf_dir))
     return out.select(
@@ -533,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_srp": _q_ann_srp,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "text_gopher_quality": _q_gopher,
@@ -969,6 +997,39 @@ SELECT query_id, vec_id FROM (
 ) WHERE rnk <= 10
 """
 
+    # ann_ivf_trained: identical structure, but centroids are the COMMITTED
+    # trained fixture — both engines read the same k x dim literals, so the
+    # trained quantizer path is certified value-level (round-5 verdict #1)
+    ann_ivf_trained = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT cid, CAST(centv AS DOUBLE[]) AS cv
+         FROM read_parquet('{fixture}')),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (SELECT vec_id AS query_id, v AS qv FROM emb ORDER BY vec_id LIMIT 5),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+)
+SELECT query_id, vec_id FROM (
+  SELECT p.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY p.query_id
+           ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, a.vec_id) AS rnk
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+) WHERE rnk <= 10
+""".format(fixture=_IVF_CENT_FIXTURE)
+
     # ---- stemmed-chain oracles: the committed token->stem mapping
     # (tests/fixtures/stem_map_en.parquet) turns the reference DEFAULT
     # analyzer (stopwords -> lowercase -> Porter2) into a pure-SQL join;
@@ -1013,6 +1074,7 @@ SELECT doc_id, score FROM (
     return {
         "ann_srp": ann_srp,
         "ann_ivf": ann_ivf,
+        "ann_ivf_trained": ann_ivf_trained,
         "dedup_embedding_srp": emb_srp,
         "dedup_minhash": minhash,
         "dedup_clusters": clusters,

@@ -189,6 +189,16 @@ def main() -> None:
                 + (chain.get("star_rounds") or 0),
                 "chain_auto_status": chain.get("status"),
             }
+            c = blob.get("C_composed_pipeline_1m")
+            if c:
+                cc_summary["pipeline_1m"] = {
+                    "n_docs": c.get("n_docs"),
+                    "n_kept": c.get("n_kept"),
+                    "composed_e2e_sec": c.get("stage_split", {}).get(
+                        "composed_e2e_sec"
+                    ),
+                    "stage_split": c.get("stage_split"),
+                }
         except Exception:
             pass
 

@@ -70,6 +70,13 @@ def main() -> None:
           similarity.srp_lsh_topk(emb, queries, k=3).count())
     print("IVF top-3:",
           similarity.ivf_topk(emb, queries, k=3, n_centroids=16, n_probe=4).count())
+    # trained coarse quantizer: spherical k-means once at build time, then
+    # the k x dim table drops straight into ivf_topk (commit it as parquet
+    # for serving — see scripts/make_ivf_centroid_fixture.py and the
+    # ann_ivf_trained driver entry, which oracle-certifies this path)
+    cents = similarity.train_centroids(emb, n_centroids=16, n_iter=3)
+    print("IVF top-3 (trained centroids):",
+          similarity.ivf_topk(emb, queries, k=3, n_probe=4, centroids=cents).count())
 
     # ---- text analysis
     textstats.token_counts(docs).show(3)

@@ -18,6 +18,12 @@ B. End-to-end >=1M-doc dedup with chain-shaped near-dup clusters:
    per-round wall, phase wall-clock, and cluster-shape sanity
    (n_clusters, max cluster size vs the constructed chain length).
 
+C. Composed cleaning pipeline (gopher ∧ PII ∧ transitive dedup ∧
+   benchmark decontamination) over the SAME >=1M corpus — the end-to-end
+   number a training-data user asks for (round-5 verdict #7). Reports
+   the per-stage split (each stage timed standalone) plus the composed
+   single-plan wall-clock.
+
 Usage: python scripts/cc_scale.py [--quick]
 """
 
@@ -225,6 +231,55 @@ def main() -> None:
         "max_cluster_size": int(agg["max_cluster"]),
         "singleton_clusters": int(agg["singletons"]),
     }
+
+    # ---- C: composed cleaning pipeline over the same corpus -------------
+    from phphinder_spark.ops import pipeline
+    from phphinder_spark.ops.textstats import (
+        gopher_quality,
+        ngram_contamination,
+        pii_scrub,
+    )
+
+    # eval-suite stand-in: ~1/10k of the corpus (deterministic id stride);
+    # its 8-grams contaminate the sampled docs plus their chain neighbors
+    bench_df = docs.where(F.col("doc_id") % 9973 == 0)
+    n_bench = bench_df.count()
+    # chain docs are 20 synthetic tokens with no English stopwords: gate on
+    # length only so the quality leg passes the corpus instead of zeroing it
+    gate = {"min_words": 10, "min_stop_hits": 0}
+    stages = {}
+    t = time.time()
+    n_gopher = gopher_quality(docs, **gate).where("gopher_pass").count()
+    stages["gopher_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    pii_scrub(docs).count()
+    stages["pii_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    n_contam = ngram_contamination(docs, bench_df, n=8).where("contaminated").count()
+    stages["decontam_sec"] = round(time.time() - t, 2)
+    # dedup stages measured in B over the same corpus: pairs_sec / cc_sec /
+    # cluster_assign_sec
+    t = time.time()
+    kept = pipeline.clean_corpus(
+        docs, jaccard_threshold=0.5, benchmark=bench_df, decontam_n=8, **gate
+    )
+    n_kept = kept.count()
+    stages["composed_e2e_sec"] = round(time.time() - t, 2)
+    out["C_composed_pipeline_1m"] = {
+        "n_docs": n_docs,
+        "n_benchmark_docs": n_bench,
+        "n_gopher_pass": n_gopher,
+        "n_contaminated": n_contam,
+        "n_kept": n_kept,
+        "stage_split": {
+            "pairs_sec": t_pairs,
+            "cc_sec": t_cc,
+            "cluster_assign_sec": t_full,
+            **stages,
+        },
+    }
+    docs.unpersist()
+    pairs.unpersist()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "BENCH_cc.json"), "w") as fh:
