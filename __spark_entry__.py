@@ -455,6 +455,15 @@ def _q_decontaminate(spark, sf_dir):
     return textstats.ngram_contamination(docs, bench, n=3)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact substring-duplication signal (Lee et al. 2021 repeated-span
+    pass, fixed-length approximation): spans of 8 words whose occurrence
+    count across the corpus >= 2. n=8 on the synthetic corpus flags the
+    near-dup doc families' shared spans (47/500 at sf0.01) without the
+    31-word vocabulary saturating the signal (n=3 flags everything)."""
+    return textstats.duplicate_spans(_documents(spark, sf_dir), n=8)
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -567,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_pii,
         "text_repetition": _q_repetition,
         "text_decontaminate": _q_decontaminate,
+        "text_dup_spans": _q_dup_spans,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "pipeline_clean_full": _q_pipeline_clean_full,
         "agg_lang_stats": _q_lang_stats,
@@ -1209,6 +1219,27 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
             "SELECT media_id, kind, octet_length(payload) AS n_bytes, "
             f"sha256_expected AS sha256 FROM read_parquet('{_MEDIA_FIXTURE}')"
         ),
+        # corpus-duplicated 8-word spans (Lee et al. repeated-substring
+        # pass): occurrence count per span, rolled up per doc
+        "text_dup_spans": """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+sp AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-7, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+7), ' '))) AS g
+  FROM t
+), c AS (SELECT g, count(*) AS c FROM sp GROUP BY g),
+pd AS (
+  SELECT sp.doc_id, count(*) FILTER (WHERE c.c >= 2) AS n_dup
+  FROM sp JOIN c USING (g) GROUP BY sp.doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.toks)-7, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       round(coalesce(pd.n_dup, 0) / greatest(greatest(len(t.toks)-7, 0), 1), 6)
+         AS dup_ratio,
+       coalesce(pd.n_dup, 0) > 0 AS has_dup
+FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+""".format(toks=_TOKS),
         # benchmark decontamination: same 3-gram construction the
         # jaccard_ngram oracle proved value-identical; benchmark slice =
         # doc_id % 41 = 0

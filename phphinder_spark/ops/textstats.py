@@ -228,6 +228,71 @@ def ngram_contamination(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Exact substring-duplication signal — the corpus-level repeated-span
+    pass of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better": remove/flag substrings of >= ~50 tokens that repeat in
+    the corpus), expressed in the standard distributed approximation:
+    fixed-length word ``n``-gram spans instead of a suffix array. Distinct
+    from dedup (which scores whole documents) and from repetition_stats
+    (within-doc repeats): a span is DUPLICATED when its total occurrence
+    count ACROSS THE CORPUS reaches ``min_count``.
+
+    Returns one row per doc: (doc_id, n_spans = the doc's span instances,
+    n_dup_spans = how many of them are corpus-duplicated, dup_ratio,
+    has_dup). A training pipeline drops/rewrites docs by dup_ratio, or
+    feeds has_dup into the cleaning intersect. Docs shorter than ``n``
+    tokens (or NULL) report 0 spans.
+
+    Scale: the span explode is map-side; the occurrence count shuffles on
+    the span key (uniform — span content hashes spread, and Catalyst
+    reuses the exchange for the count->join re-key); the per-doc rollup
+    shuffles on uniform doc ids. ``hash_spans=True`` is the 100-TB path:
+    spans shuffle as xxhash64 LONGS instead of n-word strings (an order
+    of magnitude fewer shuffle bytes at n=20); 64-bit collisions can
+    over-flag ~(corpus_spans^2 / 2^65) spans — negligible misflag rates
+    at real scales, but the value-level DuckDB oracle certifies the
+    string form (equivalence between both forms is pytest-pinned)."""
+    grams = _word_ngrams(col, n)
+    spans = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+    if hash_spans:
+        spans = spans.select("doc_id", F.xxhash64("g").alias("g"))
+    counts = spans.groupBy("g").agg(F.count("*").alias("c"))
+    per_doc = (
+        spans.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans")
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(grams).cast("long").alias("n_spans"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_spans") / F.greatest("n_spans", F.lit(1)), 6),
+        )
+        .withColumn("has_dup", F.col("n_dup_spans") > 0)
+    )
+
+
 def repetition_stats(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -220,6 +220,60 @@ def test_search_results_identical_with_and_without_cache(spark, r6_engine, monke
     assert with_cache == without and len(with_cache) == 30
 
 
+# ------------------------------------------------- duplicate spans (Lee 2021)
+
+
+def test_duplicate_spans_flags_cross_doc_repeats(spark):
+    """A 4-gram span shared verbatim by two docs is duplicated in both;
+    unique spans, short docs (< n tokens) and within-threshold docs are
+    not. n_spans = token-window count; dup_ratio is exact."""
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),          # 3 spans, 1 duplicated
+            (2, f"prefix {shared} gamma"),        # 3 spans, 1 duplicated
+            (3, "totally different words here"),  # 1 span, unique
+            (4, "tiny doc"),                      # < n tokens -> 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"], r["has_dup"])
+        for r in textstats.duplicate_spans(docs, n=4).collect()
+    }
+    assert out[1] == (3, 1, round(1 / 3, 6), True)
+    assert out[2] == (3, 1, round(1 / 3, 6), True)
+    assert out[3] == (1, 0, 0.0, False)
+    assert out[4] == (0, 0, 0.0, False)
+
+
+def test_duplicate_spans_counts_within_doc_occurrences(spark):
+    """min_count counts OCCURRENCES, not distinct docs: a span repeated
+    inside one doc is corpus-duplicated too (the Lee et al. rule)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z a b c d"), (2, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_spans"], r["has_dup"])
+        for r in textstats.duplicate_spans(docs, n=4).collect()
+    }
+    assert out[1] == (2, True)   # 'a b c d' occurs twice within doc 1
+    assert out[2] == (0, False)
+
+
+def test_duplicate_spans_hash_path_equivalent(spark):
+    """hash_spans=True (xxhash64 longs on the shuffle) returns the exact
+    same rows as the string form on a non-degenerate corpus."""
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} common tail span here") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textstats.duplicate_spans(docs, n=5).collect()))
+    b = sorted(
+        map(tuple, textstats.duplicate_spans(docs, n=5, hash_spans=True).collect())
+    )
+    assert a == b
+
+
 # ------------------------------------------- trained-IVF committed fixture
 
 
