@@ -565,9 +565,9 @@ def _cc_star(
     reproduced their input ⟺ the edge set is a star forest (each step
     strictly decreases the Kiveris potential whenever it changes the
     graph, so a changed graph can never round-trip back to itself). The
-    probe is a limit-1 scan of the already-checkpointed frames — the
-    previous count + exceptAll pair shuffled both edge sets once more per
-    round for the same answer."""
+    probe is ONE single-row max aggregate over both already-checkpointed
+    frames per round — replacing the previous two count jobs per round
+    plus an exceptAll double-shuffle at every counts-equal round."""
     if metrics is None:
         metrics = {"star_rounds": 0, "round_secs": []}
     metrics.setdefault("star_rounds", 0)
@@ -612,14 +612,18 @@ def _cc_star(
             )
         )
         new_edges = _symmetrize_flag(small).localCheckpoint(eager=True)
-        same = (
-            new_edges.where("chg").limit(1).count() == 0
-            and mid.where("chg").limit(1).count() == 0
+        # ONE single-row aggregate job over both checkpointed frames (a
+        # limit-1 probe would scan rare-flag rounds in incremental waves)
+        flagged = (
+            mid.select("chg")
+            .unionByName(new_edges.select("chg"))
+            .agg(F.max("chg").alias("any"))
+            .collect()[0]["any"]
         )
         edges = new_edges.select("u", "v")
         metrics["star_rounds"] += 1
         metrics["round_secs"].append(round(_time.time() - _t0, 3))
-        if same:
+        if not flagged:
             return edges.groupBy("u").agg(F.min("v").alias("l")).select(
                 F.col("u").alias("id"),
                 F.least("u", "l").alias("cluster_id"),
