@@ -78,6 +78,11 @@ def main() -> None:
     print("IVF top-3 (trained centroids):",
           similarity.ivf_topk(emb, queries, k=3, n_probe=4, centroids=cents).count())
 
+    # exact substring-duplication signal (Lee et al. 2021 repeated-span
+    # pass): corpus-duplicated word n-gram spans per doc
+    print("docs with corpus-duplicated 8-grams:",
+          textstats.duplicate_spans(docs, n=8).where("has_dup").count())
+
     # ---- text analysis
     textstats.token_counts(docs).show(3)
     textstats.quality_scores(docs).show(3)
