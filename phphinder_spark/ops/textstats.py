@@ -251,10 +251,16 @@ def duplicate_spans(
     feeds has_dup into the cleaning intersect. Docs shorter than ``n``
     tokens (or NULL) report 0 spans.
 
-    Scale: the span explode is map-side; the occurrence count shuffles on
-    the span key (uniform — span content hashes spread, and Catalyst
-    reuses the exchange for the count->join re-key); the per-doc rollup
-    shuffles on uniform doc ids. ``hash_spans=True`` is the 100-TB path:
+    Scale: the span explode is map-side; the exploded spans exchange
+    twice on the span key (once pruned to ``g`` for the occurrence
+    count, once as (doc_id, g) for the flag join — both uniform, span
+    content spreads), and the per-doc rollup shuffles on uniform doc
+    ids. Deliberately NOT a ``count().over(Window.partitionBy(g))``:
+    a window delivers ALL instances of one span to a single task (no
+    map-side combine), so a corpus-hot span (a boilerplate license
+    block repeated 10^7 times) would OOM that task at 100 TB — the
+    groupBy+join shape combines map-side and lets AQE split the hot
+    join key. ``hash_spans=True`` is the 100-TB path:
     spans shuffle as xxhash64 LONGS instead of n-word strings (an order
     of magnitude fewer shuffle bytes at n=20); 64-bit collisions can
     over-flag ~(corpus_spans^2 / 2^65) spans — negligible misflag rates
