@@ -434,13 +434,19 @@ def connected_components(
         )
     # self-loops (a, a) carry no connectivity: strip them before either
     # algorithm (large-star would silently drop a node whose ONLY pairs
-    # are self-pairs), and re-attach the full distinct id universe at the
-    # end so all three algorithms return the identical id set
-    ids = (
-        pairs.select(F.col(a_col).alias("id"))
-        .unionByName(pairs.select(F.col(b_col).alias("id")))
-        .distinct()
+    # are self-pairs). Every id with >= 1 non-self pair is guaranteed in
+    # both algorithms' outputs (label-prop seeds from groupBy(u) over the
+    # symmetrized edges; the star steps preserve the node set of every
+    # >= 2-node component), so only self-loop-ONLY ids can be missing —
+    # re-attach exactly those at the end. The probe is a limit-1 filtered
+    # scan of pairs; the common no-self-pair case (a < b pair generators:
+    # minhash/simhash bands, jaccard blocks) costs no extra shuffle at
+    # all, vs. the corpus-scale distinct-all-ids + left join this
+    # replaced (round-6 contract fix, made O(#self-pairs) here).
+    self_ids = pairs.where(F.col(a_col) == F.col(b_col)).select(
+        F.col(a_col).alias("id")
     )
+    ids = self_ids if not self_ids.isEmpty() else None
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -506,15 +512,22 @@ def connected_components(
     return _attach_singletons(ids, _cc_star(seeded, max_iter - label_rounds, metrics))
 
 
-def _attach_singletons(ids: DataFrame, labels: DataFrame) -> DataFrame:
-    """Left-join the labeled nodes back onto the full distinct id universe
-    of the input pairs: ids whose only pairs were self-loops (stripped
-    before the algorithms run) come back as their own cluster — the
-    documented 'every id appearing in pairs' contract, algorithm-
-    independent."""
-    return ids.join(labels, "id", "left").select(
-        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+def _attach_singletons(self_ids: DataFrame | None, labels: DataFrame) -> DataFrame:
+    """Union ids whose ONLY pairs were self-loops (stripped before the
+    algorithms run) back in as their own cluster — the documented 'every
+    id appearing in pairs' contract, algorithm-independent. ``self_ids``
+    is None when the input had no self-pairs (the common case): the
+    labels pass through untouched, zero extra work. Otherwise the
+    anti-join keys the (tiny, map-side-filtered) self-pair set against
+    the labels to drop ids that also had a real edge."""
+    if self_ids is None:
+        return labels
+    singles = (
+        self_ids.distinct()
+        .join(labels, "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
     )
+    return labels.unionByName(singles)
 
 
 def _symmetrize_flag(directed: DataFrame) -> DataFrame:

@@ -196,9 +196,11 @@ def ngram_contamination(
             F.explode(_word_ngrams(bench_col or col, n)).alias("g")
         )
         .distinct()
-        # evaluated once here; the count below and the broadcast probe
-        # both read the materialized blocks
-        .localCheckpoint(eager=True)
+        # lazy checkpoint: the guard count below is the materializing
+        # action (one job, not checkpoint-job + count-job), and the
+        # broadcast probe reads the same materialized blocks — the gram
+        # set still evaluates exactly once
+        .localCheckpoint(eager=False)
     )
     n_bgrams = bgrams.count()
     if n_bgrams > _MAX_BENCH_GRAM_ROWS:
