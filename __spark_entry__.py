@@ -464,6 +464,54 @@ def _q_dup_spans(spark, sf_dir):
     return textstats.duplicate_spans(_documents(spark, sf_dir), n=8)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pre-training batch
+    prep): docs in doc_id order are laid end-to-end and cut every 256
+    tokens; each doc reports the chunk (seq_id) and offset of its first
+    token. Spark side is a distributed prefix scan — ONE corpus-scale
+    range shuffle, per-partition Arrow cumsum, tiny totals-prefix
+    broadcast (ops/packing.py)."""
+    from phphinder_spark.ops.packing import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), 256)
+
+
+# mixture rates for the sample_mixture entry: exercise the 1.0 ("g") and
+# listed/unlisted (default_rate) threshold paths over the synthetic langs
+_MIXTURE_RATES = {"en": 0.7, "de": 0.4, "fr": 1.0}
+_MIXTURE_DEFAULT = 0.15
+
+
+def _q_sample_mixture(spark, sf_dir):
+    """Deterministic per-language mixture sampling (data-mixing step of
+    an LLM pipeline): keep fraction f(lang) of docs, decided by a sha256
+    hash of the doc id — reproducible row-for-row across engines, runs,
+    and partitionings; map-side only (ops/sampling.py)."""
+    from phphinder_spark.ops.sampling import mixture_sample
+
+    return mixture_sample(
+        _documents(spark, sf_dir),
+        _MIXTURE_RATES,
+        group_col="lang",
+        default_rate=_MIXTURE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _mixture_oracle_sql() -> str:
+    from phphinder_spark.ops.sampling import threshold_hex
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{threshold_hex(f)}'"
+        for g, f in sorted(_MIXTURE_RATES.items())
+    )
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        "substr(sha256(concat_ws('|', 'phphinder', "
+        "CAST(doc_id AS VARCHAR))), 1, 15) < "
+        f"CASE lang {cases} ELSE '{threshold_hex(_MIXTURE_DEFAULT)}' END"
+    )
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -577,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_decontaminate": _q_decontaminate,
         "text_dup_spans": _q_dup_spans,
+        "text_pack_sequences": _q_pack_sequences,
+        "sample_mixture": _q_sample_mixture,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "pipeline_clean_full": _q_pipeline_clean_full,
         "agg_lang_stats": _q_lang_stats,
@@ -1240,6 +1290,26 @@ SELECT t.doc_id,
        coalesce(pd.n_dup, 0) > 0 AS has_dup
 FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
 """.format(toks=_TOKS),
+        # concat-and-chunk packing: DuckDB replays the prefix scan as a
+        # plain global window cumsum (fine at oracle scale; the Spark
+        # side distributes the identical arithmetic)
+        "text_pack_sequences": """
+WITH t AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ex // 256 AS BIGINT) AS seq_id,
+       CAST(ex % 256 AS BIGINT) AS seq_offset
+FROM c
+""".format(toks=_TOKS),
+        # deterministic mixture sampling: the exact predicate, replayed —
+        # sha256/concat_ws agree byte-for-byte across the engines, and
+        # thresholds come from the same threshold_hex()
+        "sample_mixture": _mixture_oracle_sql(),
         # benchmark decontamination: same 3-gram construction the
         # jaccard_ngram oracle proved value-identical; benchmark slice =
         # doc_id % 41 = 0

@@ -101,6 +101,7 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name in ("dedup_clusters", "text_gopher_quality", "text_pii_scrub",
                  "text_repetition", "text_decontaminate",
+                 "text_pack_sequences", "sample_mixture",
                  "pipeline_clean_corpus", "pipeline_clean_full"):
         t = time.time()
         qs[name](spark, sf_dir).count()

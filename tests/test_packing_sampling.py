@@ -1,0 +1,216 @@
+"""pack_sequences (concat-and-chunk distributed prefix scan) and the
+deterministic sampling ops (hash-Bernoulli + per-group mixture)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphinder_spark.ops.packing import pack_sequences
+from phphinder_spark.ops.sampling import (
+    deterministic_sample,
+    mixture_sample,
+    threshold_hex,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _expected_packing(docs, max_tokens):
+    toks = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "")
+            ).alias("n"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    cum, out = 0, {}
+    for t in toks:
+        out[t.doc_id] = (t.n, cum // max_tokens, cum % max_tokens)
+        cum += t.n
+    return out
+
+
+def test_pack_matches_serial_replay(docs):
+    expected = _expected_packing(docs, 256)
+    got = pack_sequences(docs, 256).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert expected[r.doc_id] == (r.n_tokens, r.seq_id, r.seq_offset)
+
+
+def test_pack_partitioning_invariance(docs):
+    """seq assignment depends only on the global id order — input
+    partitioning and scan parallelism must not change a single row."""
+    base = sorted(map(tuple, pack_sequences(docs, 128).collect()))
+    for variant in (
+        pack_sequences(docs, 128, num_partitions=1),
+        pack_sequences(docs, 128, num_partitions=7),
+        pack_sequences(docs.repartition(13), 128, num_partitions=3),
+    ):
+        assert sorted(map(tuple, variant.collect())) == base
+
+
+def test_pack_precomputed_token_column(docs):
+    pre = docs.withColumn(
+        "ntok",
+        F.size(F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "")),
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 200).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(pre, 200, tokens_col_name="ntok").collect())
+    )
+    assert a == b
+
+
+def test_pack_offsets_within_budget_and_streams_contiguously(docs):
+    rows = sorted(pack_sequences(docs, 100).collect(), key=lambda r: r.doc_id)
+    pos = 0
+    for r in rows:
+        assert 0 <= r.seq_offset < 100
+        assert r.seq_id * 100 + r.seq_offset == pos
+        pos += r.n_tokens
+
+
+def test_pack_empty_and_zero_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "gamma")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset) for r in
+           pack_sequences(df, 2).collect()}
+    # doc 2 is empty: zero tokens, attaches at the current stream position
+    assert got == {1: (2, 0, 0), 2: (0, 1, 0), 3: (1, 1, 0)}
+    assert pack_sequences(df.where("doc_id < 0"), 2).count() == 0
+
+
+def test_pack_rejects_bad_budget(docs):
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(docs, 0)
+
+
+def test_pack_plan_single_corpus_shuffle(docs):
+    """The corpus side of the plan must be checkpoint-scan -> MapInPandas
+    -> broadcast join: every Exchange belongs to the tiny per-partition
+    totals branch, and the corpus is never re-shuffled for the window."""
+    plan = pack_sequences(docs, 256)._sc._jvm.PythonSQLUtils.explainString(
+        pack_sequences(docs, 256)._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan
+    # the only Window is the per-partition-totals prefix (post-aggregate)
+    window_sections = re.findall(r"Window \(\d+\)", plan)
+    assert len(window_sections) == 1
+    # corpus branch (the join's left side, ':'-prefixed in the tree):
+    # MapInPandas over the checkpointed RDD, with NO Exchange
+    tree = plan.split("\n\n")[0]
+    left_branch = [ln for ln in tree.splitlines() if ln.lstrip().startswith(":")]
+    assert any("MapInPandas" in ln for ln in left_branch)
+    assert not any("Exchange" in ln for ln in left_branch)
+
+
+# --- deterministic / mixture sampling ---
+
+
+def test_threshold_hex_edges():
+    assert threshold_hex(0.0) == "" and threshold_hex(-1) == ""
+    assert threshold_hex(1.0) == "g" and threshold_hex(2.0) == "g"
+    mid = threshold_hex(0.5)
+    assert len(mid) == 15 and int(mid, 16) == 16**15 // 2
+    # "g" sorts after every hex string; "" before every one
+    assert "f" * 15 < "g" and not ("0" * 15 < "")
+
+
+def test_deterministic_sample_reproducible_and_nested(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, 0.4).select("doc_id").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, 0.4).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # thresholds nest: the 0.2 sample is a subset of the 0.4 sample
+    small = {r.doc_id for r in deterministic_sample(docs, 0.2).select("doc_id").collect()}
+    assert small <= a
+    # fraction is approximately honored (60-bit uniform hash)
+    n = docs.count()
+    assert 0.25 * n < len(a) < 0.55 * n
+
+
+def test_deterministic_sample_salt_gives_different_sample(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, 0.5).select("doc_id").collect()}
+    b = {r.doc_id for r in
+         deterministic_sample(docs, 0.5, salt="other").select("doc_id").collect()}
+    assert a != b
+
+
+def test_deterministic_sample_extremes(docs):
+    assert deterministic_sample(docs, 0.0).count() == 0
+    assert deterministic_sample(docs, 1.0).count() == docs.count()
+
+
+def test_deterministic_sample_matches_duckdb(docs):
+    """Engine-portability contract: DuckDB replaying the identical
+    predicate selects the identical rows (the oracle-row mechanism)."""
+    duckdb = pytest.importorskip("duckdb")
+    thr = threshold_hex(0.37)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    duck = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE substr(sha256(concat_ws("
+            f"'|', 'phphinder', CAST(doc_id AS VARCHAR))), 1, 15) < '{thr}'"
+        ).fetchall()
+    }
+    sparkside = {
+        r.doc_id
+        for r in deterministic_sample(docs, 0.37).select("doc_id").collect()
+    }
+    assert sparkside == duck
+
+
+def test_mixture_sample_rates_and_default(docs):
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert "en" in langs and len(langs) > 1
+    m = mixture_sample(docs, {"en": 1.0, "de": 0.0}, group_col="lang")
+    counts = {r["lang"]: r["count"] for r in m.groupBy("lang").count().collect()}
+    n_en = docs.where("lang = 'en'").count()
+    assert counts.get("en") == n_en  # rate 1.0 keeps every row
+    assert "de" not in counts  # rate 0.0 drops every row
+    # unlisted groups follow default_rate
+    assert set(counts) == {"en"}
+    m2 = mixture_sample(
+        docs, {"en": 0.0}, group_col="lang", default_rate=1.0
+    )
+    assert m2.count() == docs.count() - n_en
+
+
+def test_mixture_sample_agrees_with_per_group_deterministic(docs):
+    """mixture_sample == per-group deterministic_sample union (same salt
+    and key -> same hash -> same decisions)."""
+    rates = {"en": 0.6, "de": 0.3}
+    m = {r.doc_id for r in
+         mixture_sample(docs, rates, group_col="lang").select("doc_id").collect()}
+    expect = set()
+    for g, f in rates.items():
+        part = docs.where(F.col("lang") == g)
+        expect |= {r.doc_id for r in
+                   deterministic_sample(part, f).select("doc_id").collect()}
+    assert m == expect
+
+
+def test_mixture_sample_is_map_side_only(docs):
+    plan = mixture_sample(
+        docs, {"en": 0.5}, group_col="lang"
+    )._sc._jvm.PythonSQLUtils.explainString(
+        mixture_sample(docs, {"en": 0.5}, group_col="lang")
+        ._jdf.queryExecution(),
+        "simple",
+    )
+    assert "Exchange" not in plan and "Join" not in plan
