@@ -439,6 +439,29 @@ def _q_pipeline_clean_full(spark, sf_dir):
     )
 
 
+def _q_pipeline_train_prep(spark, sf_dir):
+    """The END-TO-END training-prep flow: full cleaning (gopher + PII +
+    transitive dedup + decontamination), then per-lang deterministic
+    mixture sampling, then 256-token sequence packing of the SCRUBBED
+    text — the oracle certifies the five-stage joined result, including
+    the packing arithmetic over exactly the sampled keeper set."""
+    from phphinder_spark.ops import pipeline
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    return pipeline.prepare_training_corpus(
+        docs,
+        _MIXTURE_RATES,
+        group_col="lang",
+        max_tokens=256,
+        default_rate=_MIXTURE_DEFAULT,
+        min_words=20,
+        min_stop_hits=1,
+        benchmark=bench,
+        decontam_n=3,
+    )
+
+
 def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
@@ -497,7 +520,7 @@ def _q_sample_mixture(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
-def _mixture_oracle_sql() -> str:
+def _mixture_predicate_sql() -> str:
     from phphinder_spark.ops.sampling import threshold_hex
 
     cases = " ".join(
@@ -505,10 +528,15 @@ def _mixture_oracle_sql() -> str:
         for g, f in sorted(_MIXTURE_RATES.items())
     )
     return (
-        "SELECT doc_id, lang FROM documents WHERE "
         "substr(sha256(concat_ws('|', 'phphinder', "
         "CAST(doc_id AS VARCHAR))), 1, 15) < "
         f"CASE lang {cases} ELSE '{threshold_hex(_MIXTURE_DEFAULT)}' END"
+    )
+
+
+def _mixture_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, lang FROM documents WHERE " + _mixture_predicate_sql()
     )
 
 
@@ -629,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": _q_sample_mixture,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "pipeline_clean_full": _q_pipeline_clean_full,
+        "pipeline_train_prep": _q_pipeline_train_prep,
         "agg_lang_stats": _q_lang_stats,
         "corpus_sha256": _q_sha256,
         "text_langid": _q_langid,
@@ -932,6 +961,34 @@ WHERE NOT k.is_dup AND q.gopher_pass
   AND k.doc_id NOT IN ({decontam_sql})
 """
 
+    # training-prep: the full pipeline's keeper set, mixture-sampled by
+    # the exact hash predicate, then packed by a window cumsum over the
+    # SCRUBBED text's token counts in doc_id order (same arithmetic the
+    # distributed scan computes)
+    toks_scrubbed = _TOKS.replace("lower(text)", "lower(scrubbed)")
+    pipeline_train_sql = f"""
+WITH kept AS ({pipeline_full_sql}),
+mixed AS (
+  SELECT * FROM (
+    SELECT k.doc_id AS doc_id, k.cluster_id, d.lang, k.scrubbed
+    FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+  ) WHERE {_mixture_predicate_sql()}
+),
+t AS (
+  SELECT doc_id, cluster_id, lang, len({toks_scrubbed}) AS n_tokens
+  FROM mixed
+),
+c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+  FROM t
+)
+SELECT doc_id, cluster_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ex // 256 AS BIGINT) AS seq_id,
+       CAST(ex % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
+
     profile_rows = ",\n    ".join(
         "('{lang}', [{words}])".format(
             lang=lang, words=",".join(f"'{w}'" for w in words)
@@ -1209,6 +1266,7 @@ SELECT doc_id, score FROM (
         "text_pii_scrub": pii_sql,
         "pipeline_clean_corpus": pipeline_sql,
         "pipeline_clean_full": pipeline_full_sql,
+        "pipeline_train_prep": pipeline_train_sql,
         "text_repetition": """
 WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
 grams AS (

@@ -68,3 +68,53 @@ def clean_corpus(
             decon.select("doc_id", "contaminated"), "doc_id"
         ).where(~F.col("contaminated"))
     return out.select("doc_id", "cluster_id", "scrubbed")
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "phphinder",
+    **clean_kwargs,
+) -> DataFrame:
+    """The complete pre-training data-prep flow in one call: clean
+    (quality gate + PII scrub + transitive near-dedup, optionally
+    decontamination via ``clean_kwargs``), then per-group deterministic
+    MIXTURE sampling, then concat-and-chunk SEQUENCE PACKING of the
+    surviving docs' scrubbed text.
+
+    Returns (doc_id, cluster_id, <group_col>, n_tokens, seq_id,
+    seq_offset) — one row per kept+sampled doc, ready to hand to a
+    training data loader. Packing counts tokens of the SCRUBBED text
+    (what would actually be trained on), in doc_id order.
+
+    Scale: the cleaning legs keep their own shapes (see
+    :func:`clean_corpus`); the kept set is lazily checkpointed so the
+    mixture filter and the packing scan read ONE materialization instead
+    of re-running the LSH/CC legs per consumer; sampling is map-side;
+    packing adds its single range shuffle + Arrow cumsum."""
+    from phphinder_spark.ops.packing import pack_sequences
+    from phphinder_spark.ops.sampling import mixture_sample
+
+    kept = clean_corpus(df, text_col, id_col, **clean_kwargs)
+    kept_g = kept.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(group_col)), "doc_id"
+    )
+    mixed = mixture_sample(
+        kept_g,
+        rates,
+        group_col=group_col,
+        key_col="doc_id",
+        default_rate=default_rate,
+        salt=salt,
+    ).localCheckpoint(eager=False)
+    packed = pack_sequences(mixed, max_tokens, id_col="doc_id", text_col="scrubbed")
+    return packed.join(
+        mixed.select("doc_id", "cluster_id", group_col), "doc_id"
+    ).select(
+        "doc_id", "cluster_id", group_col, "n_tokens", "seq_id", "seq_offset"
+    )

@@ -214,3 +214,36 @@ def test_mixture_sample_is_map_side_only(docs):
         "simple",
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_prepare_training_corpus_composes_the_stages(docs, spark):
+    """prepare_training_corpus == clean_corpus -> mixture_sample ->
+    pack_sequences(scrubbed), row-for-row."""
+    from phphinder_spark.ops.pipeline import clean_corpus, prepare_training_corpus
+
+    rates = {"en": 0.8, "de": 0.5}
+    got = sorted(
+        map(tuple, prepare_training_corpus(
+            docs, rates, group_col="lang", max_tokens=128,
+            default_rate=0.25, min_words=20, min_stop_hits=1,
+        ).collect())
+    )
+
+    kept = clean_corpus(docs, min_words=20, min_stop_hits=1)
+    kept_g = kept.join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = mixture_sample(kept_g, rates, group_col="lang", default_rate=0.25)
+    packed = pack_sequences(mixed, 128, text_col="scrubbed")
+    expect = sorted(
+        map(tuple, packed.join(
+            mixed.select("doc_id", "cluster_id", "lang"), "doc_id"
+        ).select(
+            "doc_id", "cluster_id", "lang", "n_tokens", "seq_id", "seq_offset"
+        ).collect())
+    )
+    assert got == expect and len(got) > 0
+    # packing is over the surviving set only: contiguous token stream
+    pos = 0
+    for r in sorted(got):
+        doc_id, _, _, n_tokens, seq_id, seq_offset = r
+        assert seq_id * 128 + seq_offset == pos
+        pos += n_tokens
