@@ -487,6 +487,13 @@ def _q_dup_spans(spark, sf_dir):
     return textstats.duplicate_spans(_documents(spark, sf_dir), n=8)
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    """Removal form of the repeated-span pass: tokens covered by any
+    corpus-duplicated 8-gram are cut and the doc rebuilt (same n-gram
+    construction as text_dup_spans, which only flags)."""
+    return textstats.remove_duplicate_spans(_documents(spark, sf_dir), n=8)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style pre-training batch
     prep): docs in doc_id order are laid end-to-end and cut every 256
@@ -653,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_decontaminate": _q_decontaminate,
         "text_dup_spans": _q_dup_spans,
+        "text_remove_dup_spans": _q_remove_dup_spans,
         "text_pack_sequences": _q_pack_sequences,
         "sample_mixture": _q_sample_mixture,
         "pipeline_clean_corpus": _q_pipeline_clean,
@@ -1347,6 +1355,33 @@ SELECT t.doc_id,
          AS dup_ratio,
        coalesce(pd.n_dup, 0) > 0 AS has_dup
 FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+""".format(toks=_TOKS),
+        # span REMOVAL: 1-based subscripts throughout the oracle (Spark
+        # side is 0-based posexplode — positions never cross engines,
+        # only the rebuilt strings do)
+        "text_remove_dup_spans": """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+spl AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-7, 0)+1),
+        i -> array_to_string(list_slice(toks, i, i+7), ' ')) AS gs FROM t),
+sp AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS i FROM spl),
+hot AS (SELECT g FROM (SELECT g, count(*) AS c FROM sp GROUP BY g) WHERE c >= 2),
+cov AS (SELECT DISTINCT sp.doc_id, sp.i + r.off AS pos
+        FROM sp JOIN hot USING (g), (SELECT unnest(range(0, 8)) AS off) r),
+tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM t),
+keptagg AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned,
+         count(*) AS n_kept
+  FROM (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)) k
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+  CASE WHEN t.toks IS NULL THEN NULL ELSE coalesce(ka.cleaned, '') END
+    AS cleaned,
+  CAST(coalesce(len(t.toks), 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(len(t.toks), 0) - coalesce(ka.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM t LEFT JOIN keptagg ka ON t.doc_id = ka.doc_id
 """.format(toks=_TOKS),
         # concat-and-chunk packing: DuckDB replays the prefix scan as a
         # plain global window cumsum (fine at oracle scale; the Spark

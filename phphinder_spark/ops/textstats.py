@@ -301,6 +301,74 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_count: int = 2,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """The REMOVAL form of the Lee et al. 2021 repeated-span pass (where
+    :func:`duplicate_spans` only flags): every token covered by at least
+    one corpus-duplicated ``n``-gram span is cut, and the document is
+    rebuilt from the surviving tokens. Returns (doc_id, cleaned,
+    n_tokens, n_removed); ``cleaned`` is the space-joined surviving
+    tokens (token-normalized — original whitespace/punctuation does not
+    survive the fixed-length-span approximation), NULL for NULL input.
+
+    Scale: the span explode, count, and flag join keep
+    :func:`duplicate_spans`' shapes (map-side-combining groupBy on the
+    span key, never a per-key window); the only additions are a per-doc
+    ``collect_set`` of FLAGGED span starts — bounded by doc length, not
+    corpus size — and a map-side array rebuild (the in-doc coverage test
+    is O(tokens x covered), fine for bounded docs). ``hash_spans=True``
+    shuffles xxhash64 longs exactly as in :func:`duplicate_spans`."""
+    toks = tokens_col(col)
+    grams = _word_ngrams(col, n)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), grams.alias("gs")
+    )
+    spans = base.select("doc_id", F.posexplode("gs").alias("i0", "g"))
+    if hash_spans:
+        spans = spans.select("doc_id", "i0", F.xxhash64("g").alias("g"))
+    hot = (
+        spans.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
+    flagged = (
+        spans.join(hot, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i0").alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (n - 1)),
+            )
+        )
+    )
+    joined = base.join(flagged, "doc_id", "left").select(
+        "doc_id", "toks", covered.alias("cov")
+    )
+    kept = F.filter(
+        "toks", lambda x, i: ~F.array_contains(F.col("cov"), i.cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("toks").isNotNull(), F.concat_ws(" ", kept)).alias(
+            "cleaned"
+        ),
+        F.size(F.coalesce("toks", F.array().cast("array<string>")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -335,3 +335,77 @@ def test_cc_all_self_pairs_edgeless_graph(spark):
             for r in connected_components(pairs, algorithm=algo).collect()
         }
         assert got == {4: 4, 8: 8}, algo
+
+
+# -------------------------------------------- span REMOVAL (Lee 2021 form)
+
+
+def test_remove_duplicate_spans_cuts_covered_tokens(spark):
+    """Every token covered by a corpus-duplicated n-gram is cut; the doc
+    is rebuilt from the survivors (token-normalized). Overlapping
+    duplicated spans union their coverage, NULL propagates, empty stays
+    empty."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox leaps far"),
+            (3, "totally unique words here indeed"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cleaned"], r["n_tokens"], r["n_removed"])
+        for r in textstats.remove_duplicate_spans(docs, n=3).collect()
+    }
+    assert out[1] == ("the jumps over the lazy dog", 9, 3)
+    assert out[2] == ("a leaps far", 6, 3)
+    assert out[3] == ("totally unique words here indeed", 5, 0)
+    assert out[4] == (None, 0, 0)
+    assert out[5] == ("", 0, 0)
+
+
+def test_remove_duplicate_spans_overlap_union_and_full_removal(spark):
+    """Two overlapping duplicated 3-grams cover 4 tokens, not 6; a doc
+    that IS a duplicated span comes back empty."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w x y z"),   # both 3-grams duplicated -> whole doc covered
+            (2, "w x y z"),
+            (3, "unrelated filler text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cleaned"], r["n_removed"])
+        for r in textstats.remove_duplicate_spans(docs, n=3).collect()
+    }
+    assert out[1] == ("", 4)
+    assert out[2] == ("", 4)
+    assert out[3] == ("unrelated filler text", 0)
+
+
+def test_remove_duplicate_spans_agrees_with_flag_op(spark):
+    """n_removed > 0 <=> duplicate_spans.has_dup at the same (n,
+    min_count); hash_spans form is value-identical."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    rem = textstats.remove_duplicate_spans(docs, n=8)
+    flag = textstats.duplicate_spans(docs, n=8)
+    bad = (
+        rem.select("doc_id", (F.col("n_removed") > 0).alias("r"))
+        .join(flag.select("doc_id", "has_dup"), "doc_id")
+        .where(F.col("r") != F.col("has_dup"))
+        .count()
+    )
+    assert bad == 0
+    a = sorted(map(tuple, rem.collect()))
+    b = sorted(
+        map(
+            tuple,
+            textstats.remove_duplicate_spans(docs, n=8, hash_spans=True).collect(),
+        )
+    )
+    assert a == b
