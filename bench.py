@@ -102,7 +102,9 @@ def main() -> None:
     for name in ("dedup_clusters", "text_gopher_quality", "text_pii_scrub",
                  "text_repetition", "text_decontaminate",
                  "text_pack_sequences", "sample_mixture",
-                 "pipeline_clean_corpus", "pipeline_clean_full"):
+                 "text_remove_dup_spans",
+                 "pipeline_clean_corpus", "pipeline_clean_full",
+                 "pipeline_train_prep"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -93,6 +93,26 @@ def main() -> None:
     print("gopher-pass fraction:",
           gq.where("gopher_pass").count() / max(gq.count(), 1))
 
+    # span REMOVAL form (cut covered tokens, rebuild the doc)
+    removed = textstats.remove_duplicate_spans(docs, n=8)
+    print("tokens removed by the span pass:",
+          removed.agg(F.sum("n_removed")).collect()[0][0])
+
+    # ---- training batch prep: deterministic mixing + sequence packing
+    from phphinder_spark.ops.packing import pack_sequences
+    from phphinder_spark.ops.sampling import mixture_sample
+    from phphinder_spark.ops.pipeline import prepare_training_corpus
+
+    mixed = mixture_sample(docs, {"en": 1.0, "de": 0.5}, group_col="lang",
+                           default_rate=0.25)
+    print("mixture kept:", mixed.count(), "of", docs.count())
+    pack_sequences(mixed, 512).orderBy("doc_id").show(3)
+    # ...or the whole clean -> mix -> pack flow in one call:
+    prepare_training_corpus(
+        docs, {"en": 1.0, "de": 0.5}, group_col="lang", max_tokens=512,
+        default_rate=0.25, min_words=20, min_stop_hits=1,
+    ).show(3)
+
     # ---- multimodal: decode -> features -> resize
     media = multimodal.synthetic_media(spark, 16)
     multimodal.extract_features(media).select(
