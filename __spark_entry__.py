@@ -363,6 +363,22 @@ def _q_ann_ivf_trained(spark, sf_dir):
     ).select("query_id", "vec_id")
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the committed trained-centroid fixture: assignment,
+    keep-order, and triu prune decisions all replay over the SAME k x dim
+    literals in DuckDB (threshold 0.35 — this synthetic embedding table
+    has no high-cosine near-dups, so the driver row uses the value that
+    yields a real 438/62 kept/pruned split at sf0.01)."""
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = [
+        (int(r["cid"]), list(r["centv"]))
+        for r in spark.read.parquet(_IVF_CENT_FIXTURE).collect()
+    ]
+    return dedup.semantic_dedup(emb, cents, threshold=0.35)
+
+
 def _q_token_counts(spark, sf_dir):
     out = textstats.token_counts(_documents(spark, sf_dir))
     return out.select(
@@ -653,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp": _q_ann_srp,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "dedup_semantic": _q_semantic_dedup,
         "text_token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "text_gopher_quality": _q_gopher,
@@ -1155,6 +1172,37 @@ SELECT query_id, vec_id FROM (
 ) WHERE rnk <= 10
 """.format(fixture=_IVF_CENT_FIXTURE)
 
+    # dedup_semantic: SemDeDup over the same committed centroid literals —
+    # nearest-cell assignment, (cent_sim asc, id asc) keep order, and the
+    # released implementation's upper-triangular prune rule (an item is
+    # pruned iff ANY earlier item in its cell has round-6 cosine >= t,
+    # pruned shadowers included) replayed verbatim
+    dedup_semantic = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT cid, CAST(centv AS DOUBLE[]) AS cv
+         FROM read_parquet('{fixture}')),
+assign AS (
+  SELECT vec_id, cid, csim FROM (
+    SELECT e.vec_id, c.cid,
+           round(list_cosine_similarity(e.v, c.cv), 6) AS csim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                      c.cid) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid
+   AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+)
+SELECT a.vec_id, a.cid, a.csim AS cent_sim, (p.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+""".format(fixture=_IVF_CENT_FIXTURE)
+
     # ---- stemmed-chain oracles: the committed token->stem mapping
     # (tests/fixtures/stem_map_en.parquet) turns the reference DEFAULT
     # analyzer (stopwords -> lowercase -> Porter2) into a pure-SQL join;
@@ -1200,6 +1248,7 @@ SELECT doc_id, score FROM (
         "ann_srp": ann_srp,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
+        "dedup_semantic": dedup_semantic,
         "dedup_embedding_srp": emb_srp,
         "dedup_minhash": minhash,
         "dedup_clusters": clusters,

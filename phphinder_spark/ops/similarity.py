@@ -192,6 +192,102 @@ def train_centroids(
     return cents
 
 
+def _assign_cells(
+    corpus: DataFrame, cent_pairs: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Max-cosine centroid cell per (already-normalized) corpus vector:
+    (vec_id, cv, cid, cent_sim). Shared by ``ivf_topk`` and
+    ``assign_centroids`` / SemDeDup.
+
+    Two physical forms with identical output: up to
+    ``_IVF_LITERAL_MAX_CENTROIDS`` the centroids are embedded as literal
+    expressions in a pure map-side projection (zero corpus shuffle);
+    above that assignment falls back to a broadcast crossJoin + per-vec
+    struct-max aggregation (one uniform vec_id shuffle, plan size O(1)
+    in centroid count). Ties break to the LOWEST cid via max-by
+    (csim, -cid) — the ordering the SQL oracles replay by row_number."""
+    cent_rows = [{"cid": c, "centv": v} for c, v in cent_pairs]
+    if len(cent_rows) <= _IVF_LITERAL_MAX_CENTROIDS:
+        def _cdot(centv: list[float]) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    "cv",
+                    F.array(*[F.lit(float(x)) for x in centv]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(_cdot(list(r["centv"])), 6).alias("csim"),
+                        F.lit(-int(r["cid"])).cast("long").alias("ncid"),
+                    )
+                    for r in cent_rows
+                ]
+            )
+        )
+        return (
+            corpus.withColumn("best", best)
+            .select(
+                "vec_id",
+                "cv",
+                (-F.col("best.ncid")).alias("cid"),
+                F.col("best.csim").alias("cent_sim"),
+            )
+        )
+    cents = corpus.sparkSession.createDataFrame(
+        cent_pairs, "cid long, centv array<double>"
+    )
+    # cv is constant per vec_id group so first() carries it through
+    # without a re-join
+    adot = F.aggregate(
+        F.zip_with("cv", "centv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(adot, 6))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim").alias("csim"),
+                    (-F.col("cid")).cast("long").alias("ncid"),
+                )
+            ).alias("best"),
+            F.first("cv").alias("cv"),
+        )
+        .select(
+            "vec_id",
+            "cv",
+            (-F.col("best.ncid")).alias("cid"),
+            F.col("best.csim").alias("cent_sim"),
+        )
+    )
+
+
+def assign_centroids(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (max round-6 cosine, ties to lowest cid) cell
+    assignment over an embedding column: returns
+    (vec_id, cv, cid, cent_sim) with ``cv`` the L2-normalized vector.
+    The coarse-quantization step shared by IVF serving and SemDeDup;
+    see ``_assign_cells`` for the two physical forms."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("cv")
+    )
+    return _assign_cells(corpus, [(int(c), list(v)) for c, v in centroids])
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -248,63 +344,10 @@ def ivf_topk(
         return emb.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"
         )
-    cent_rows = [{"cid": c, "centv": v} for c, v in cent_pairs]
     cents = emb.sparkSession.createDataFrame(
         cent_pairs, "cid long, centv array<double>"
     )
-    if len(cent_rows) <= _IVF_LITERAL_MAX_CENTROIDS:
-        # max-by-(csim, -cid): struct comparison is field-lexicographic, so
-        # array_max picks the highest round-6 cosine, ties to the LOWEST
-        # cid — the exact ordering the oracle's row_number replays
-        def _cdot(centv: list[float]) -> Column:
-            return F.aggregate(
-                F.zip_with(
-                    "cv",
-                    F.array(*[F.lit(float(x)) for x in centv]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-
-        best = F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(_cdot(list(r["centv"])), 6).alias("csim"),
-                        F.lit(-int(r["cid"])).cast("long").alias("ncid"),
-                    )
-                    for r in cent_rows
-                ]
-            )
-        )
-        assign = corpus.withColumn("cid", -best["ncid"]).select(
-            "vec_id", "cv", "cid"
-        )
-    else:
-        # plan-size-bounded fallback: same (csim desc, cid asc) argmax via
-        # broadcast crossJoin + struct-max aggregation; cv is constant per
-        # vec_id group so first() carries it through without a re-join
-        adot = F.aggregate(
-            F.zip_with("cv", "centv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assign = (
-            corpus.crossJoin(F.broadcast(cents))
-            .withColumn("csim", F.round(adot, 6))
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("csim").alias("csim"),
-                        (-F.col("cid")).cast("long").alias("ncid"),
-                    )
-                ).alias("best"),
-                F.first("cv").alias("cv"),
-            )
-            .select("vec_id", "cv", (-F.col("best.ncid")).alias("cid"))
-        )
+    assign = _assign_cells(corpus, cent_pairs).select("vec_id", "cv", "cid")
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), _normalized(vec_col).alias("qv")
     )

@@ -1,0 +1,98 @@
+"""SemDeDup (Abbas et al. 2023) — cluster-then-prune semantic dedup.
+
+Pins:
+1. the paper's keep-rule: within a cell, LOW-centroid-similarity items
+   survive; their near-duplicates packed closer to the center are pruned;
+2. the released implementation's upper-triangular semantics: a pruned
+   item still shadows later items (NOT sequential greedy);
+3. the id contract: every input id comes back exactly once, kept+pruned;
+4. prune-set monotonicity in the threshold;
+5. literal-projection and broadcast-argmax assignment paths agree.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from phphinder_spark.ops import similarity
+from phphinder_spark.ops.dedup import semantic_dedup
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        pytest.skip("testdata not available")
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+CENTS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+
+
+def _arc(theta):
+    # unit vectors on the (x, z) arc: cosine to centroid 0 == cos(theta),
+    # cosine between two arc points == cos(|t1 - t2|)
+    return [math.cos(theta), 0.0, math.sin(theta), 0.0]
+
+
+@pytest.fixture()
+def arc_emb(spark):
+    rows = [
+        (1, _arc(0.5)),   # farthest from c0 -> earliest in keep order
+        (2, _arc(0.3)),   # cos to v1 = cos(0.2) ~ 0.980 -> pruned by v1
+        (3, _arc(0.1)),   # cos to v1 = cos(0.4) ~ 0.921 < t, but cos to
+                          # v2 = cos(0.2) >= t -> pruned by the PRUNED v2
+        (4, [0.0, 1.0, 0.0, 0.0]),  # alone in cell 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_keep_rule_and_triu_shadowing(arc_emb):
+    t = round(math.cos(0.25), 6)  # ~0.9689: catches 0.2-rad gaps only
+    out = {r["vec_id"]: r for r in semantic_dedup(arc_emb, CENTS, t).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["kept"] and out[4]["kept"]
+    # v2: duplicate of the farther-out v1 -> pruned (keep-low-cent-sim)
+    assert not out[2]["kept"]
+    # v3: only duplicate of the PRUNED v2 -> still pruned (triu shadowing;
+    # sequential greedy would have kept it)
+    assert not out[3]["kept"]
+    assert out[1]["cid"] == out[2]["cid"] == out[3]["cid"] == 0
+    assert out[4]["cid"] == 1
+    # cent_sim is the round-6 cosine to the winning centroid
+    assert out[1]["cent_sim"] == pytest.approx(math.cos(0.5), abs=1e-6)
+
+
+def test_id_contract_and_threshold_monotonicity(spark, embeddings):
+    emb = embeddings.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = [
+        (int(r["vec_id"]), list(r["cv"]))
+        for r in emb.select(
+            "vec_id", similarity._normalized("embedding").alias("cv")
+        )
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    ]
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    pruned_by_t = {}
+    for t in (0.3, 0.5, 0.9):
+        out = semantic_dedup(emb, cents, threshold=t).collect()
+        assert [r["vec_id"] for r in out] != []
+        assert {r["vec_id"] for r in out} == ids and len(out) == len(ids)
+        pruned_by_t[t] = {r["vec_id"] for r in out if not r["kept"]}
+    # raising the threshold can only shrink the pruned set (keep order is
+    # threshold-independent, so prune decisions nest)
+    assert pruned_by_t[0.9] <= pruned_by_t[0.5] <= pruned_by_t[0.3]
+
+
+def test_assignment_paths_agree(arc_emb, monkeypatch):
+    lit = semantic_dedup(arc_emb, CENTS, 0.95).collect()
+    monkeypatch.setattr(similarity, "_IVF_LITERAL_MAX_CENTROIDS", 0)
+    bc = semantic_dedup(arc_emb, CENTS, 0.95).collect()
+    key = lambda rows: sorted(
+        (r["vec_id"], r["cid"], r["cent_sim"], r["kept"]) for r in rows
+    )
+    assert key(lit) == key(bc)
