@@ -278,6 +278,17 @@ def _q_dedup_clusters_star(spark, sf_dir):
     return dedup.dedup_clusters(docs, pairs, algorithm="star")
 
 
+def _q_dedup_representatives(spark, sf_dir):
+    """Quality-aware canonicalization on top of the transitive closure:
+    the longest member (token count, ties to lowest id) survives each
+    cluster — the keep/drop rule pipelines actually apply, certified on
+    the same LSH + CC clustering the dedup_clusters row certifies."""
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, "text", threshold=0.6)
+    clusters = dedup.dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return dedup.cluster_representatives(docs, clusters)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_dup_pairs(
         _embeddings(spark, sf_dir).withColumn(
@@ -662,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "dedup_representatives": _q_dedup_representatives,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
@@ -905,6 +917,39 @@ SELECT d.doc_id,
        coalesce(c.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id <> coalesce(c.cluster_id, d.doc_id) AS is_dup
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""".format(minhash=minhash)
+
+    # dedup_representatives: same recursive-CTE closure, then the
+    # keep-longest rule — row_number over (score desc, doc_id asc) replays
+    # the struct-max argmax exactly
+    representatives = """
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({minhash})
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+), comp AS (
+  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+), assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(len(list_filter(string_split_regex(d.text, '\\W+'),
+                              x -> x <> '')) AS BIGINT) AS score
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+), best AS (
+  SELECT cluster_id, doc_id AS rep_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY score DESC, doc_id ASC) AS rn
+    FROM assign
+  ) WHERE rn = 1
+)
+SELECT a.doc_id, a.cluster_id, a.score, (a.doc_id = b.rep_id) AS is_rep
+FROM assign a JOIN best b ON a.cluster_id = b.cluster_id
 """.format(minhash=minhash)
 
     def _gopher_sql(min_words: int, min_stops: int) -> str:
@@ -1254,6 +1299,7 @@ SELECT doc_id, score FROM (
         "dedup_clusters": clusters,
         # identical closure: cluster_id is algorithm-independent
         "dedup_clusters_star": clusters,
+        "dedup_representatives": representatives,
         "dedup_simhash": simhash,
         "text_langid": langid,
         "text_fingerprint": fingerprint,

@@ -844,3 +844,64 @@ def semantic_dedup(
             F.col("pruned").isNull().alias("kept"),
         )
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score: F.Column | None = None,
+) -> DataFrame:
+    """Quality-aware canonicalization: pick WHICH document survives each
+    dedup cluster. ``dedup_clusters`` answers "who is a duplicate of
+    whom"; real pipelines then keep the BEST member, not the lowest id —
+    by default the longest document (token count, the usual keep-longest
+    rule), deterministic ties to the lowest id. Pass ``score`` (any
+    Column over ``docs``, e.g. a gopher quality term) to canonicalize by
+    a different criterion.
+
+    ``clusters`` is (id_col, cluster_id) as produced by
+    ``dedup_clusters`` (every doc present, singletons included).
+    Returns one row per doc: (id_col, cluster_id, score, is_rep) —
+    filter ``is_rep`` for the surviving corpus, ``~is_rep`` for the
+    drop list.
+
+    Scale: one id-keyed join (both sides uniform on the id), one
+    cluster_id-keyed struct-max aggregation (map-side combine reduces
+    each cluster to ONE candidate per partition before the shuffle, so
+    a 10M-member cluster contributes #partitions rows, not 10M), and
+    one cluster_id-keyed join of the tiny winner table back. No windows
+    over the corpus."""
+    score_col = score if score is not None else F.size(_tokens(text_col))
+    scored = (
+        clusters.select(F.col(id_col).alias("id"), "cluster_id")
+        .join(
+            docs.select(
+                F.col(id_col).alias("id"),
+                score_col.cast("long").alias("score"),
+            ),
+            "id",
+        )
+    )
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.col("id")).cast("long").alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.nid")).alias("rep_id"))
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "score",
+            (F.col("id") == F.col("rep_id")).alias("is_rep"),
+        )
+    )

@@ -96,3 +96,51 @@ def test_assignment_paths_agree(arc_emb, monkeypatch):
         (r["vec_id"], r["cid"], r["cent_sim"], r["kept"]) for r in rows
     )
     assert key(lit) == key(bc)
+
+
+# ------------------------- quality-aware cluster canonicalization
+
+
+def test_cluster_representatives_keep_longest_and_ties(spark):
+    from phphinder_spark.ops.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short text"),
+            (2, "a much longer text with many more words here"),
+            (3, "three words long"),   # same len as 4 -> tie to lowest id
+            (4, "also three words"),
+            (5, "singleton doc"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)], "doc_id long, cluster_id long"
+    )
+    out = {r["doc_id"]: r for r in cluster_representatives(docs, clusters).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert not out[1]["is_rep"] and out[2]["is_rep"]     # longest wins
+    assert out[3]["is_rep"] and not out[4]["is_rep"]     # tie -> lowest id
+    assert out[5]["is_rep"]                              # singleton survives
+    assert out[2]["score"] == 9
+    # exactly one representative per cluster
+    reps = [r for r in out.values() if r["is_rep"]]
+    assert sorted(r["cluster_id"] for r in reps) == [1, 3, 5]
+
+
+def test_cluster_representatives_custom_score(spark):
+    from phphinder_spark.ops.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb", 0.2), (2, "cc", 0.9)],
+        "doc_id long, text string, quality double",
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    out = {
+        r["doc_id"]: r["is_rep"]
+        for r in cluster_representatives(
+            docs, clusters, score=(F.col("quality") * 100)
+        ).collect()
+    }
+    # by token count doc 1 would win; by the caller's quality column doc 2 does
+    assert out == {1: False, 2: True}
