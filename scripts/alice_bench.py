@@ -85,6 +85,15 @@ def main() -> None:
     eng.index_dataframe(df)
     eng.index.postings.cache().count()
     eng.index.stats()
+    # --warm-shapes: pre-compile every standard query shape at build time
+    # (engine.warm_shapes); the "cold" section below then measures the
+    # FIRST USER QUERY per shape of a warmed serving process — run once
+    # without and once with the flag for the honest before/after pair
+    warm_shapes_sec = None
+    if "--warm-shapes" in sys.argv:
+        tw = time.time()
+        eng.warm_shapes()
+        warm_shapes_sec = round(time.time() - tw, 3)
     build_sec = time.time() - t0
 
     # ---- cold: first run of each shape (codegen compile included)
@@ -138,6 +147,7 @@ def main() -> None:
     out = {
         "n_docs": len(rows),
         "build_sec": round(build_sec, 2),
+        "warm_shapes_sec": warm_shapes_sec,
         "docs_per_sec": round(len(rows) / build_sec, 1),
         "cold_queries": cold,
         "cold": stats(cold),

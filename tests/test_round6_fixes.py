@@ -409,3 +409,38 @@ def test_remove_duplicate_spans_agrees_with_flag_op(spark):
         )
     )
     assert a == b
+
+
+# --------------------------------------------- warm_shapes (cold-path latency)
+
+
+def test_warm_shapes_covers_all_shapes_and_preserves_results(spark):
+    from phphinder_spark.engine import SparkSearchEngine
+    from phphinder_spark.schema import test_schema as make_test_schema
+
+    eng = SparkSearchEngine(spark, make_test_schema())
+    eng.add_document({"_id": 1, "title": "Cat", "text": "meow world engine",
+                      "description": "d"})
+    eng.add_document({"_id": 2, "title": "Dog", "text": "bark world fun",
+                      "description": "d"})
+    eng.flush()
+    timings = eng.warm_shapes()
+    assert set(timings) == {
+        "term", "and", "or", "not", "prefix", "phrase", "typo", "bm25"
+    }
+    assert all(t >= 0 for t in timings.values())
+    # warming must not perturb query semantics
+    assert {r.doc_id for r in eng.search("world")} == {1, 2}
+    assert {r.doc_id for r in eng.search("meow")} == {1}
+    # idempotent
+    assert set(eng.warm_shapes(bm25=False)) == {
+        "term", "and", "or", "not", "prefix", "phrase", "typo"
+    }
+
+
+def test_warm_shapes_empty_index_is_safe(spark):
+    from phphinder_spark.engine import SparkSearchEngine
+    from phphinder_spark.schema import test_schema as make_test_schema
+
+    eng = SparkSearchEngine(spark, make_test_schema())
+    assert eng.warm_shapes() == {}
