@@ -493,6 +493,32 @@ def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
 
+# perplexity-bucket cutoffs for the text_perplexity entry: tertile-ish
+# literals over the sf0.01 ppl distribution, snapped to the widest local
+# gaps (margins 0.0118 / 0.0177 to the nearest doc — engine FP noise on
+# ppl is ~1e-5, so the bucket column is hash-stable)
+_PPL_LO = 29.356
+_PPL_HI = 30.7
+
+
+def _q_perplexity(spark, sf_dir):
+    """CCNet-style LM filtering (ops/lm.py): add-0.5 bigram LM trained
+    on the even-doc_id half of the corpus, every doc scored against it
+    (held-out odd docs exercise the backoff/OOV paths), head/middle/tail
+    buckets at pinned literal cutoffs. Certified columns are n_bigrams +
+    nll_total (the 1e-6-grid sum, exactly reproducible cross-engine) +
+    bucket; the per-bigram mean nll/ppl are derived views whose last
+    decimal is engine-FP-dependent (see ops/lm.py module docstring)."""
+    from phphinder_spark.ops import lm
+
+    docs = _documents(spark, sf_dir)
+    model = lm.train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0), k=0.5)
+    scored = lm.score_perplexity(docs, model)
+    return lm.perplexity_buckets(scored, lo=_PPL_LO, hi=_PPL_HI).select(
+        "doc_id", "n_bigrams", "nll_total", "bucket"
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing any word n-gram with the
     'benchmark' slice (doc_id % 41 == 0 stands in for an eval suite).
@@ -687,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": _q_gopher,
         "text_pii_scrub": _q_pii,
         "text_repetition": _q_repetition,
+        "text_perplexity": _q_perplexity,
         "text_decontaminate": _q_decontaminate,
         "text_dup_spans": _q_dup_spans,
         "text_remove_dup_spans": _q_remove_dup_spans,
@@ -1430,6 +1457,51 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
             "SELECT media_id, kind, octet_length(payload) AS n_bytes, "
             f"sha256_expected AS sha256 FROM read_parquet('{_MEDIA_FIXTURE}')"
         ),
+        # CCNet bigram-LM perplexity: train on even doc_ids, score all.
+        # Every logp is rounded to 6 BEFORE the per-doc sum, so nll_total
+        # sits on the 1e-6 decimal grid in both engines; bucket cutoffs
+        # are literals with >=0.011 margin to every doc's ppl.
+        "text_perplexity": """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+wi AS (SELECT doc_id, list_prepend('<s>', toks) AS ts FROM t),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+  FROM wi
+), ba AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM ba
+  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM c12),
+obs AS (
+  SELECT c12.w1, c12.w2,
+         round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6) AS logp
+  FROM c12 JOIN c1 USING (w1), v
+), bo AS (
+  SELECT w1, round(ln(0.5 / (c1 + 0.5 * v)), 6) AS logp_bo FROM c1, v
+), sc AS (
+  SELECT ba.doc_id, count(*) AS n_bigrams,
+         round(-sum(coalesce(obs.logp, bo.logp_bo,
+                             (SELECT round(ln(1.0 / v), 6) FROM v))),
+               6) AS nll_total
+  FROM ba
+  LEFT JOIN obs ON ba.w1 = obs.w1 AND ba.w2 = obs.w2
+  LEFT JOIN bo ON ba.w1 = bo.w1
+  GROUP BY 1
+), pp AS (
+  SELECT doc_id, n_bigrams, nll_total,
+         round(exp(round(nll_total / n_bigrams, 6)), 6) AS ppl
+  FROM sc
+)
+SELECT t.doc_id,
+       CAST(coalesce(pp.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       pp.nll_total,
+       CASE WHEN pp.ppl < {lo} THEN 'head'
+            WHEN pp.ppl < {hi} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM t LEFT JOIN pp USING (doc_id)
+""".format(toks=_TOKS, lo=_PPL_LO, hi=_PPL_HI),
         # corpus-duplicated 8-word spans (Lee et al. repeated-substring
         # pass): occurrence count per span, rolled up per doc
         "text_dup_spans": """

@@ -102,7 +102,7 @@ def main() -> None:
     for name in ("dedup_clusters", "text_gopher_quality", "text_pii_scrub",
                  "text_repetition", "text_decontaminate",
                  "text_pack_sequences", "sample_mixture",
-                 "text_remove_dup_spans",
+                 "text_remove_dup_spans", "text_perplexity",
                  "pipeline_clean_corpus", "pipeline_clean_full",
                  "pipeline_train_prep"):
         t = time.time()

@@ -98,6 +98,16 @@ def main() -> None:
     print("tokens removed by the span pass:",
           removed.agg(F.sum("n_removed")).collect()[0][0])
 
+    # ---- CCNet-style LM filtering: train a bigram LM on a trusted
+    # slice, bucket the corpus by perplexity against it
+    from phphinder_spark.ops import lm
+
+    model = lm.train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    scored = lm.score_perplexity(docs, model)
+    lm.perplexity_buckets(scored, lo=25.0, hi=32.0).groupBy(
+        "bucket"
+    ).count().show()
+
     # ---- training batch prep: deterministic mixing + sequence packing
     from phphinder_spark.ops.packing import pack_sequences
     from phphinder_spark.ops.sampling import mixture_sample
