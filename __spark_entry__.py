@@ -493,6 +493,21 @@ def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    """CCNet paragraph-level dedup (ops/dedup.py::dedup_paragraphs):
+    keep the first corpus-wide occurrence of every paragraph, rebuild
+    docs from survivors. The synthetic corpus has no newlines, so both
+    engines first derive the same paragraph-ful view by turning the
+    word 'line' into a paragraph break — deterministic and replayed
+    byte-for-byte in the oracle."""
+    from phphinder_spark.ops.dedup import dedup_paragraphs
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", r"\bline\b", "\n").alias("text")
+    )
+    return dedup_paragraphs(docs)
+
+
 # perplexity-bucket cutoffs for the text_perplexity entry: tertile-ish
 # literals over the sf0.01 ppl distribution, snapped to the widest local
 # gaps (margins 0.0118 / 0.0177 to the nearest doc — engine FP noise on
@@ -700,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_representatives": _q_dedup_representatives,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_srp": _q_dedup_embedding_srp,
@@ -1457,6 +1473,36 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
             "SELECT media_id, kind, octet_length(payload) AS n_bytes, "
             f"sha256_expected AS sha256 FROM read_parquet('{_MEDIA_FIXTURE}')"
         ),
+        # CCNet paragraph dedup over the derived paragraph-ful view
+        # ('line' -> newline); keep-first by (doc_id, pos), rebuild.
+        # Spark positions are 0-based, the oracle's 1-based — positions
+        # only order/tie-break, they never cross engines.
+        "dedup_paragraphs": """
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '\\bline\\b', chr(10), 'g') AS t
+  FROM documents
+), p0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ps) + 1),
+                i -> struct_pack(pos := i, para := trim(ps[i])))) AS s
+  FROM (SELECT doc_id, string_split_regex(t, '\\n+') AS ps FROM d)
+), p AS (
+  SELECT doc_id, s.pos AS pos, s.para AS para FROM p0 WHERE s.para <> ''
+), k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p
+), reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS new_text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+), np AS (SELECT doc_id, count(*) AS n_paragraphs FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.new_text, '') AS text,
+       CAST(coalesce(np.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+FROM d LEFT JOIN np USING (doc_id) LEFT JOIN reb USING (doc_id)
+""",
         # CCNet bigram-LM perplexity: train on even doc_ids, score all.
         # Every logp is rounded to 6 BEFORE the per-doc sum, so nll_total
         # sits on the 1e-6 decimal grid in both engines; bucket cutoffs

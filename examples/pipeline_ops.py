@@ -98,6 +98,18 @@ def main() -> None:
     print("tokens removed by the span pass:",
           removed.agg(F.sum("n_removed")).collect()[0][0])
 
+    # ---- CCNet paragraph dedup: drop repeated boilerplate paragraphs
+    # corpus-wide (keep-first), rebuild the docs
+    from phphinder_spark.ops.dedup import dedup_paragraphs
+
+    para_view = docs.select(
+        "doc_id", F.regexp_replace("text", r"\bline\b", "\n").alias("text")
+    )
+    pd_out = dedup_paragraphs(para_view)
+    print("paragraphs dropped:",
+          pd_out.agg(F.sum(F.col("n_paragraphs") - F.col("n_kept")))
+          .collect()[0][0])
+
     # ---- CCNet-style LM filtering: train a bigram LM on a trusted
     # slice, bucket the corpus by perplexity against it
     from phphinder_spark.ops import lm

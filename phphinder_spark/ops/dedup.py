@@ -905,3 +905,80 @@ def cluster_representatives(
             (F.col("id") == F.col("rep_id")).alias("is_rep"),
         )
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    split_regex: str = r"\n+",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al. 2020 §3:
+    web corpora are deduplicated per PARAGRAPH, not per document — the
+    boilerplate that survives doc-level dedup is repeated paragraphs).
+
+    Splits each doc on ``split_regex``, trims the pieces, drops empty
+    ones, keeps exactly the FIRST corpus-wide occurrence of each
+    distinct paragraph (first = lowest (doc_id, position) — a
+    deterministic total order, so results are partitioning-invariant),
+    and rebuilds every doc from its surviving paragraphs.
+
+    Returns (id_col, text, n_paragraphs, n_kept): ``text`` is the
+    rebuilt doc (empty string when every paragraph was dropped or the
+    doc had none), ``n_paragraphs`` the pre-dedup count.
+
+    Scale: one paragraph-keyed groupBy (min over an integer order key —
+    map-side combining, so a boilerplate paragraph repeated 100M times
+    partial-aggregates to one row per input partition) and one
+    paragraph-keyed join back (co-partitioned with the groupBy; a hot
+    paragraph is a skewed join key — AQE skew-join splits it, and the
+    winner side carries one row per distinct paragraph). The rebuild is
+    a doc-keyed collect_list bounded by paragraphs-per-doc. The winner
+    is a lexicographic min over struct(id, pos) — no composite integer
+    key, so 64-bit hash doc ids cannot overflow it; the join key can be
+    pre-hashed to xxhash64 by the caller, but the string key keeps the
+    op collision-free.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), split_regex)).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn("para", F.trim("para"))
+        .where(F.col("para") != "")
+    )
+    first = paras.groupBy("para").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    )
+    kept = paras.join(first, "para").where(
+        (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "para"))
+                ),
+                lambda x: x["para"],
+            ),
+            joiner,
+        ).alias("new_text"),
+    )
+    counts = paras.groupBy("id").agg(F.count("*").alias("n_paragraphs"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(counts, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("new_text", F.lit("")).alias("text"),
+            F.coalesce("n_paragraphs", F.lit(0))
+            .cast("long")
+            .alias("n_paragraphs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -584,3 +584,52 @@ def test_multimodal_corrupt_payload_does_not_fail_batch(spark):
     assert out[1][0] == 0.0  # real decode: black image mean
     again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
     assert out == again
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """CCNet paragraph dedup: the first corpus-wide occurrence of each
+    paragraph survives (ordered by doc_id then position), docs are
+    rebuilt from survivors, empty pieces are dropped."""
+    from phphinder_spark.ops.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler plate\ngamma"),
+            (2, "boiler plate\ndelta"),
+            (3, "delta\n\n  \nboiler plate"),
+            (4, ""),
+            (5, "epsilon\nepsilon"),  # within-doc repeat dedups too
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert out[1].text == "alpha\nboiler plate\ngamma"
+    assert (out[1].n_paragraphs, out[1].n_kept) == (3, 3)
+    assert out[2].text == "delta"  # boiler plate lost to doc 1
+    assert (out[2].n_paragraphs, out[2].n_kept) == (2, 1)
+    # doc 3: delta lost to doc 2, boiler plate to doc 1; blank piece
+    # never counted
+    assert out[3].text == ""
+    assert (out[3].n_paragraphs, out[3].n_kept) == (2, 0)
+    assert (out[4].text, out[4].n_paragraphs, out[4].n_kept) == ("", 0, 0)
+    assert out[5].text == "epsilon"
+    assert (out[5].n_paragraphs, out[5].n_kept) == (2, 1)
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_dedup_paragraphs_partitioning_invariant(spark):
+    """Keep-first is a total order, so the result must not depend on
+    input partitioning."""
+    from phphinder_spark.ops.dedup import dedup_paragraphs
+
+    rows = [
+        (i, "\n".join(f"p{(i + j) % 7}" for j in range(3)))
+        for i in range(40)
+    ]
+    a = spark.createDataFrame(rows, ["doc_id", "text"])
+    b = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(13)
+    got_a = sorted(map(tuple, dedup_paragraphs(a).collect()))
+    got_b = sorted(map(tuple, dedup_paragraphs(b).collect()))
+    assert got_a == got_b
+    # exactly 7 distinct paragraphs survive corpus-wide
+    assert sum(r[3] for r in got_a) == 7
