@@ -534,6 +534,19 @@ def _q_perplexity(spark, sf_dir):
     )
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (ops/lm.py::dsir_log_weights, Xie et al.
+    2023): target LM trained on the lang='en' slice, raw LM on the full
+    pool, logw = nll_total_raw - nll_total_target — a difference of two
+    1e-6-grid sums, exactly reproducible cross-engine."""
+    from phphinder_spark.ops import lm
+
+    docs = _documents(spark, sf_dir)
+    lm_t = lm.train_bigram_lm(docs.where(F.col("lang") == "en"), k=0.5)
+    lm_r = lm.train_bigram_lm(docs, k=0.5)
+    return lm.dsir_log_weights(docs, lm_t, lm_r)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing any word n-gram with the
     'benchmark' slice (doc_id % 41 == 0 stands in for an eval suite).
@@ -730,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_pii,
         "text_repetition": _q_repetition,
         "text_perplexity": _q_perplexity,
+        "dsir_weights": _q_dsir_weights,
         "text_decontaminate": _q_decontaminate,
         "text_dup_spans": _q_dup_spans,
         "text_remove_dup_spans": _q_remove_dup_spans,
@@ -1548,6 +1562,62 @@ SELECT t.doc_id,
             ELSE 'tail' END AS bucket
 FROM t LEFT JOIN pp USING (doc_id)
 """.format(toks=_TOKS, lo=_PPL_LO, hi=_PPL_HI),
+        # DSIR importance weights: two add-0.5 bigram LMs over shared
+        # bigram CTEs (target = lang 'en' slice, raw = full pool);
+        # logw = nll_total_raw - nll_total_target on the 1e-6 grid
+        "dsir_weights": """
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+wi AS (SELECT doc_id, lang, list_prepend('<s>', toks) AS ts FROM t),
+bi AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ts)),
+                i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+  FROM wi
+), ba AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c12t AS (
+  SELECT w1, w2, count(*) AS c12 FROM ba WHERE lang = 'en' GROUP BY 1, 2
+), c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12t GROUP BY 1),
+vt AS (SELECT count(DISTINCT w2) AS v FROM c12t),
+obst AS (
+  SELECT c12t.w1, c12t.w2,
+         round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6) AS logp
+  FROM c12t JOIN c1t USING (w1), vt
+), bot AS (
+  SELECT w1, round(ln(0.5 / (c1 + 0.5 * v)), 6) AS logp_bo FROM c1t, vt
+), sct AS (
+  SELECT ba.doc_id, count(*) AS n_bigrams,
+         round(-sum(coalesce(obst.logp, bot.logp_bo,
+                             (SELECT round(ln(1.0 / v), 6) FROM vt))),
+               6) AS nt
+  FROM ba
+  LEFT JOIN obst ON ba.w1 = obst.w1 AND ba.w2 = obst.w2
+  LEFT JOIN bot ON ba.w1 = bot.w1
+  GROUP BY 1
+),
+c12r AS (SELECT w1, w2, count(*) AS c12 FROM ba GROUP BY 1, 2),
+c1r AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12r GROUP BY 1),
+vr AS (SELECT count(DISTINCT w2) AS v FROM c12r),
+obsr AS (
+  SELECT c12r.w1, c12r.w2,
+         round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6) AS logp
+  FROM c12r JOIN c1r USING (w1), vr
+), bor AS (
+  SELECT w1, round(ln(0.5 / (c1 + 0.5 * v)), 6) AS logp_bo FROM c1r, vr
+), scr AS (
+  SELECT ba.doc_id, count(*) AS n_bigrams,
+         round(-sum(coalesce(obsr.logp, bor.logp_bo,
+                             (SELECT round(ln(1.0 / v), 6) FROM vr))),
+               6) AS nr
+  FROM ba
+  LEFT JOIN obsr ON ba.w1 = obsr.w1 AND ba.w2 = obsr.w2
+  LEFT JOIN bor ON ba.w1 = bor.w1
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(sct.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(scr.nr - sct.nt, 6) AS logw
+FROM t LEFT JOIN sct USING (doc_id) LEFT JOIN scr USING (doc_id)
+""".format(toks=_TOKS),
         # corpus-duplicated 8-word spans (Lee et al. repeated-substring
         # pass): occurrence count per span, rolled up per doc
         "text_dup_spans": """

@@ -120,6 +120,14 @@ def main() -> None:
         "bucket"
     ).count().show()
 
+    # ---- DSIR data selection: importance-weight docs toward a target
+    # domain (two bigram LMs), take the best-matching head
+    lm_target = lm.train_bigram_lm(docs.where(F.col("lang") == "en"))
+    lm_raw = lm.train_bigram_lm(docs)
+    lm.dsir_select_topk(
+        lm.dsir_log_weights(docs, lm_target, lm_raw), 5
+    ).show()
+
     # ---- training batch prep: deterministic mixing + sequence packing
     from phphinder_spark.ops.packing import pack_sequences
     from phphinder_spark.ops.sampling import mixture_sample

@@ -183,3 +183,56 @@ def perplexity_buckets(
         .when(F.col("ppl") < F.lit(float(hi)), F.lit("middle"))
         .otherwise(F.lit("tail")),
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    lm_target: DataFrame,
+    lm_raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): log w(x) =
+    log p_target(x) - log p_raw(x) under two ``train_bigram_lm``
+    artifacts — a target LM trained on the trusted/domain corpus and a
+    raw LM trained on the general pool. Docs resembling the target
+    domain get high weights.
+
+    Returns (id_col, n_bigrams, logw): logw = nll_total_raw -
+    nll_total_target, a difference of two 1e-6-grid sums — exactly
+    reproducible cross-engine (same argument as ``score_perplexity``'s
+    nll_total). Docs with no tokens get NULL logw.
+
+    Scale: two ``score_perplexity`` passes (each one bigram-keyed join
+    against a pre-aggregated LM side) and an id-keyed join of two
+    doc-sized frames.
+    """
+    t = score_perplexity(docs, lm_target, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        "n_bigrams",
+        F.col("nll_total").alias("nt_target"),
+    )
+    r = score_perplexity(docs, lm_raw, id_col, text_col).select(
+        F.col(id_col).alias("id"), F.col("nll_total").alias("nt_raw")
+    )
+    return t.join(r, "id").select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.round(F.col("nt_raw") - F.col("nt_target"), 6).alias("logw"),
+    )
+
+
+def dsir_select_topk(weights: DataFrame, k: int) -> DataFrame:
+    """Deterministic DSIR selection: the k docs with the highest
+    importance weight (NULL logw sorts last; doc_id breaks ties — a
+    total order, so the selected set is partitioning-invariant).  The
+    paper resamples with Gumbel noise; for a reproducible pipeline the
+    hash-seeded variant is ``ops.sampling.deterministic_sample`` over
+    the head of this ranking.  Physically a TakeOrderedAndProject —
+    per-partition top-k then a k-sized driver merge, never a global
+    sort."""
+    id_col = weights.columns[0]
+    return weights.orderBy(
+        F.col("logw").desc_nulls_last(), F.col(id_col)
+    ).limit(int(k))

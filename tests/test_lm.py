@@ -169,3 +169,39 @@ FROM t LEFT JOIN sc USING (doc_id)
         for d, n, x in duckdb.sql(sql).fetchall()
     }
     assert got == want
+
+
+def test_dsir_log_weights_semantics(spark):
+    """logw = nll_total_raw - nll_total_target (grid-stable difference),
+    and a doc resembling the target domain outranks one resembling the
+    raw pool."""
+    from phphinder_spark.ops.lm import dsir_log_weights, dsir_select_topk
+
+    target = spark.createDataFrame(
+        [(1, "spark sql query plan"), (2, "spark query engine")],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(1, "cat dog fish bird"), (2, "dog cat bird")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(10, "spark query plan"), (11, "cat dog bird"), (12, "")],
+        ["doc_id", "text"],
+    )
+    lm_t = train_bigram_lm(target, k=0.5)
+    lm_r = train_bigram_lm(raw, k=0.5)
+    out = {r.doc_id: r for r in dsir_log_weights(docs, lm_t, lm_r).collect()}
+    # cross-check against two explicit scoring passes
+    nt_t = {
+        r.doc_id: r.nll_total for r in score_perplexity(docs, lm_t).collect()
+    }
+    nt_r = {
+        r.doc_id: r.nll_total for r in score_perplexity(docs, lm_r).collect()
+    }
+    for d in (10, 11):
+        assert out[d].logw == _r6(nt_r[d] - nt_t[d])
+    assert out[10].logw > 0 > out[11].logw
+    assert out[12].logw is None and out[12].n_bigrams == 0
+    # top-1 selection picks the target-like doc; NULL logw sorts last
+    top = dsir_select_topk(dsir_log_weights(docs, lm_t, lm_r), 2).collect()
+    assert [r.doc_id for r in top] == [10, 11]
