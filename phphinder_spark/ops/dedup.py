@@ -928,7 +928,7 @@ def dedup_paragraphs(
     rebuilt doc (empty string when every paragraph was dropped or the
     doc had none), ``n_paragraphs`` the pre-dedup count.
 
-    Scale: one paragraph-keyed groupBy (min over an integer order key —
+    Scale: one paragraph-keyed groupBy (min over struct(id, pos) —
     map-side combining, so a boilerplate paragraph repeated 100M times
     partial-aggregates to one row per input partition) and one
     paragraph-keyed join back (co-partitioned with the groupBy; a hot
@@ -953,25 +953,31 @@ def dedup_paragraphs(
     first = paras.groupBy("para").agg(
         F.min(F.struct("id", "pos")).alias("w")
     )
-    kept = paras.join(first, "para").where(
-        (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    # carry a keep flag instead of filtering, so ONE doc-keyed aggregate
+    # yields both counts and the rebuild (collect_list drops the NULLs
+    # the when() leaves on losers) — no second corpus-scale explode for
+    # the per-doc paragraph count
+    flagged = paras.join(first, "para").withColumn(
+        "is_win",
+        (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")),
     )
-    rebuilt = kept.groupBy("id").agg(
-        F.count("*").alias("n_kept"),
+    rebuilt = flagged.groupBy("id").agg(
+        F.count("*").alias("n_paragraphs"),
+        F.sum(F.when(F.col("is_win"), 1).otherwise(0)).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("pos", "para"))
+                    F.collect_list(
+                        F.when(F.col("is_win"), F.struct("pos", "para"))
+                    )
                 ),
                 lambda x: x["para"],
             ),
             joiner,
         ).alias("new_text"),
     )
-    counts = paras.groupBy("id").agg(F.count("*").alias("n_paragraphs"))
     return (
         docs.select(F.col(id_col).alias("id"))
-        .join(counts, "id", "left")
         .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
