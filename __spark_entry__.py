@@ -534,6 +534,13 @@ def _q_perplexity(spark, sf_dir):
     )
 
 
+def _q_vocabulary(spark, sf_dir):
+    """Top-20 word-frequency vocabulary (tokenizer-training precursor);
+    boundary ties break by token ascending in both engines, so the
+    selected set is deterministic."""
+    return textstats.word_vocabulary(_documents(spark, sf_dir), k=20)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (ops/lm.py::dsir_log_weights, Xie et al.
     2023): target LM trained on the lang='en' slice, raw LM on the full
@@ -744,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_perplexity": _q_perplexity,
         "dsir_weights": _q_dsir_weights,
+        "text_vocabulary": _q_vocabulary,
         "text_decontaminate": _q_decontaminate,
         "text_dup_spans": _q_dup_spans,
         "text_remove_dup_spans": _q_remove_dup_spans,
@@ -1562,6 +1570,14 @@ SELECT t.doc_id,
             ELSE 'tail' END AS bucket
 FROM t LEFT JOIN pp USING (doc_id)
 """.format(toks=_TOKS, lo=_PPL_LO, hi=_PPL_HI),
+        # top-20 word vocabulary; boundary ties break by token asc
+        "text_vocabulary": (
+            "SELECT tok AS token, CAST(count(*) AS BIGINT) AS count "
+            "FROM (SELECT unnest({toks}) AS tok FROM documents) "
+            "GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20".format(
+                toks=_TOKS
+            )
+        ),
         # DSIR importance weights: two add-0.5 bigram LMs over shared
         # bigram CTEs (target = lang 'en' slice, raw = full pool);
         # logw = nll_total_raw - nll_total_target on the 1e-6 grid

@@ -535,3 +535,39 @@ def fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
     )
     # NULL text tokenizes to NULL -> NULL fold; pin to 0 in both engines
     return df.select("doc_id", F.coalesce(fp, F.lit(0).cast("long")).alias("fp"))
+
+
+def word_vocabulary(
+    df: DataFrame,
+    k: int | None = None,
+    min_count: int = 1,
+    col: str = "text",
+) -> DataFrame:
+    """Corpus word-frequency vocabulary — the precursor artifact for
+    tokenizer training (BPE/WordPiece seed vocab, stop-list derivation,
+    OOV-rate estimation).
+
+    Returns (token, count) for every distinct lowercased ``\\W+`` token
+    with count >= ``min_count``; with ``k`` set, only the k most
+    frequent (ties at the boundary broken by token ascending — a total
+    order, so the selected set is deterministic and
+    partitioning-invariant).
+
+    Scale: one token-keyed count shuffle with map-side combine (Zipfian
+    head tokens pre-reduce per partition); the top-k is a
+    TakeOrderedAndProject — per-partition heads then a k-sized driver
+    merge, never a global sort. min_count prunes the long tail BEFORE
+    the top-k heap.
+    """
+    counts = (
+        df.select(F.explode(tokens_col(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("count") >= int(min_count))
+    if k is not None:
+        counts = counts.orderBy(
+            F.col("count").desc(), F.col("token")
+        ).limit(int(k))
+    return counts

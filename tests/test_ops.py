@@ -633,3 +633,20 @@ def test_dedup_paragraphs_partitioning_invariant(spark):
     assert got_a == got_b
     # exactly 7 distinct paragraphs survive corpus-wide
     assert sum(r[3] for r in got_a) == 7
+
+
+def test_word_vocabulary(spark):
+    from phphinder_spark.ops.textstats import word_vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "b a a B! c"), (2, "a b. d")], ["doc_id", "text"]
+    )
+    full = {r.token: r["count"] for r in word_vocabulary(docs).collect()}
+    assert full == {"a": 3, "b": 3, "c": 1, "d": 1}
+    # min_count prunes before top-k; boundary ties break by token asc
+    top = word_vocabulary(docs, k=3).collect()
+    assert [(r.token, r["count"]) for r in top] == [
+        ("a", 3), ("b", 3), ("c", 1)
+    ]
+    assert {r.token for r in word_vocabulary(docs, min_count=2).collect()} \
+        == {"a", "b"}
