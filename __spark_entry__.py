@@ -691,6 +691,22 @@ def _q_stream_ingest(spark, sf_dir):
     return replay_ingest_windows(spark, d, sch, content_col="text")
 
 
+def _q_stream_perplexity(spark, sf_dir):
+    """Streaming CCNet scoring: the LM is trained offline on the even
+    doc_ids (the text_perplexity artifact), then the corpus streams
+    through perplexity_stream (file source, micro-batches, state-free
+    foreachBatch, stream-static LM join). Oracle = the batch LM SQL —
+    stream result must equal batch scoring row-for-row."""
+    from phphinder_spark.ops import lm as lmod
+    from phphinder_spark.streaming.replay import replay_perplexity
+
+    d, sch = _stream_batches(spark, sf_dir)
+    model = lmod.train_bigram_lm(
+        _documents(spark, sf_dir).where(F.col("doc_id") % 2 == 0), k=0.5
+    ).localCheckpoint()
+    return replay_perplexity(spark, d, sch, model)
+
+
 _MEDIA_FIXTURE = "/root/repo/tests/fixtures/media_64.parquet"
 
 
@@ -769,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_term_df_replay": _q_stream_term_df,
         "stream_dedup_replay": _q_stream_dedup,
         "stream_ingest_stats_replay": _q_stream_ingest,
+        "stream_perplexity_replay": _q_stream_perplexity,
     }
 
 
@@ -782,6 +799,40 @@ def _term_match(term: str) -> str:
         f"(regexp_matches(lower(text), '\\b{term}\\b') "
         f"OR lower(lang) = '{term}' OR lower(source) = '{term}')"
     )
+
+
+# shared DuckDB CTE chain for the bigram-LM entries: add-0.5 LM trained
+# on the even-doc_id half, per-doc nll_total over all docs — used by
+# text_perplexity (+ bucket view) and stream_perplexity_replay (as-is)
+_LM_NLL_CTE = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+wi AS (SELECT doc_id, list_prepend('<s>', toks) AS ts FROM t),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+  FROM wi
+), ba AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM ba
+  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM c12),
+obs AS (
+  SELECT c12.w1, c12.w2,
+         round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6) AS logp
+  FROM c12 JOIN c1 USING (w1), v
+), bo AS (
+  SELECT w1, round(ln(0.5 / (c1 + 0.5 * v)), 6) AS logp_bo FROM c1, v
+), sc AS (
+  SELECT ba.doc_id, count(*) AS n_bigrams,
+         round(-sum(coalesce(obs.logp, bo.logp_bo,
+                             (SELECT round(ln(1.0 / v), 6) FROM v))),
+               6) AS nll_total
+  FROM ba
+  LEFT JOIN obs ON ba.w1 = obs.w1 AND ba.w2 = obs.w2
+  LEFT JOIN bo ON ba.w1 = bo.w1
+  GROUP BY 1
+)""".format(toks=_TOKS)
 
 
 def _bm25_sql(terms: list[str], k: int, query_id: str | None = None) -> str:
@@ -1529,35 +1580,7 @@ FROM d LEFT JOIN np USING (doc_id) LEFT JOIN reb USING (doc_id)
         # Every logp is rounded to 6 BEFORE the per-doc sum, so nll_total
         # sits on the 1e-6 decimal grid in both engines; bucket cutoffs
         # are literals with >=0.011 margin to every doc's ppl.
-        "text_perplexity": """
-WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-wi AS (SELECT doc_id, list_prepend('<s>', toks) AS ts FROM t),
-bi AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-         i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
-  FROM wi
-), ba AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
-c12 AS (
-  SELECT w1, w2, count(*) AS c12 FROM ba
-  WHERE doc_id % 2 = 0 GROUP BY 1, 2
-), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
-v AS (SELECT count(DISTINCT w2) AS v FROM c12),
-obs AS (
-  SELECT c12.w1, c12.w2,
-         round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6) AS logp
-  FROM c12 JOIN c1 USING (w1), v
-), bo AS (
-  SELECT w1, round(ln(0.5 / (c1 + 0.5 * v)), 6) AS logp_bo FROM c1, v
-), sc AS (
-  SELECT ba.doc_id, count(*) AS n_bigrams,
-         round(-sum(coalesce(obs.logp, bo.logp_bo,
-                             (SELECT round(ln(1.0 / v), 6) FROM v))),
-               6) AS nll_total
-  FROM ba
-  LEFT JOIN obs ON ba.w1 = obs.w1 AND ba.w2 = obs.w2
-  LEFT JOIN bo ON ba.w1 = bo.w1
-  GROUP BY 1
-), pp AS (
+        "text_perplexity": _LM_NLL_CTE + """, pp AS (
   SELECT doc_id, n_bigrams, nll_total,
          round(exp(round(nll_total / n_bigrams, 6)), 6) AS ppl
   FROM sc
@@ -1569,7 +1592,15 @@ SELECT t.doc_id,
             WHEN pp.ppl < {hi} THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM t LEFT JOIN pp USING (doc_id)
-""".format(toks=_TOKS, lo=_PPL_LO, hi=_PPL_HI),
+""".format(lo=_PPL_LO, hi=_PPL_HI),
+        # streaming replay of the same scoring (state-free foreachBatch
+        # against the static LM): same CTEs, no bucket view
+        "stream_perplexity_replay": _LM_NLL_CTE + """
+SELECT t.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       sc.nll_total
+FROM t LEFT JOIN sc USING (doc_id)
+""",
         # top-20 word vocabulary; boundary ties break by token asc
         "text_vocabulary": (
             "SELECT tok AS token, CAST(count(*) AS BIGINT) AS count "

@@ -160,3 +160,34 @@ def windowed_ingest_stats(
             F.sum(F.length("content")).alias("n_bytes"),
         )
     )
+
+
+def perplexity_stream(
+    stream: DataFrame,
+    lm: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming perplexity scoring against a STATIC ``train_bigram_lm``
+    artifact (the serving shape of CCNet filtering: the LM is trained
+    offline, the corpus arrives as a stream).
+
+    Per-doc scores are micro-batch-local — a doc is atomic within its
+    arriving file, so ``foreachBatch`` + the batch ``score_perplexity``
+    is exact and STATE-FREE (no streaming aggregation state, no
+    watermark): the stream side explodes to bigrams and joins the static
+    pre-aggregated LM per batch (stream-static equi-join shape), and
+    results append to ``out_dir`` partitioned by micro-batch for
+    lineage. Returns the writer; the caller sets checkpoint/trigger and
+    starts it."""
+    from phphinder_spark.ops.lm import score_perplexity
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_perplexity(
+            batch_df, lm, id_col=id_col, text_col=text_col
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return stream.writeStream.foreachBatch(process_batch)

@@ -202,3 +202,43 @@ def replay_ingest_windows(
         ),
         ckpt,
     )
+
+
+def replay_perplexity(
+    spark: SparkSession,
+    batches_dir: str,
+    schema: StructType,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All per-doc scores after replaying the staged waves through the
+    state-free ``perplexity_stream`` (foreachBatch + static LM).  Each
+    doc lives in exactly one wave and the LM is static, so the emitted
+    (doc_id, n_bigrams, nll_total) set is independent of micro-batch
+    arrival order — no projection/aggregation needed for order freedom.
+    The parquet sink and checkpoint dirs are removed after
+    materialization (long-lived sessions must not accumulate them)."""
+    from phphinder_spark.streaming.incremental import perplexity_stream
+
+    ckpt = tempfile.mkdtemp(prefix="phph_replay_ppl_ckpt_")
+    sink = tempfile.mkdtemp(prefix="phph_replay_ppl_sink_")
+    try:
+        _run(
+            perplexity_stream(
+                _file_stream(spark, batches_dir, schema),
+                lm,
+                sink,
+                id_col=id_col,
+                text_col=text_col,
+            ).option("checkpointLocation", ckpt),
+            "replay_perplexity",
+        )
+        return (
+            spark.read.parquet(sink)
+            .select(id_col, "n_bigrams", "nll_total")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -270,3 +270,33 @@ def test_batch_replay_harness_matches_batch_semantics(spark, tmp_path):
     assert wins[(_EPOCH, "py")] == (2, 21)
     assert wins[(_EPOCH, "go")] == (1, 10)
     assert wins[(_EPOCH + 60, "go")] == (1, 10)
+
+
+def test_perplexity_stream_matches_batch(spark, tmp_path):
+    """State-free streaming scoring against a static LM: replaying the
+    staged waves must reproduce the batch score_perplexity rows
+    exactly (doc atomicity per wave + static artifact => order-free)."""
+    from phphinder_spark.ops.lm import score_perplexity, train_bigram_lm
+    from phphinder_spark.streaming.replay import (
+        replay_perplexity,
+        stage_batches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_bigram_lm(
+        docs.where(F.col("doc_id") % 2 == 0)
+    ).localCheckpoint()
+    d = str(tmp_path / "waves")
+    sch = stage_batches(spark, docs, d, n_batches=3)
+    got = sorted(
+        map(tuple, replay_perplexity(spark, d, sch, model).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            score_perplexity(docs, model)
+            .select("doc_id", "n_bigrams", "nll_total")
+            .collect(),
+        )
+    )
+    assert got == want
