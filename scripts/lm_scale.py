@@ -85,20 +85,27 @@ def run_lm(spark, n_docs):
     model = lm.train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
     model = model.localCheckpoint()  # materialize the artifact once
     train_sec = time.time() - t
-    t = time.time()
-    # aggregate over nll_total forces the full score computation (a bare
-    # count() lets Catalyst eliminate the unique-keyed left join)
-    row = (
-        lm.score_perplexity(docs, model)
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("nll_total").alias("s"),
+
+    def timed_score(broadcast_lm):
+        t = time.time()
+        # aggregate over nll_total forces the full score computation (a
+        # bare count() lets Catalyst eliminate the unique-keyed left join)
+        row = (
+            lm.score_perplexity(docs, model, broadcast_lm=broadcast_lm)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("nll_total").alias("s"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    score_sec = time.time() - t
-    assert row.s is not None
-    return train_sec, score_sec, row.n
+        assert row.s is not None
+        return time.time() - t, row.n, float(row.s)
+
+    score_sec, n, s_shuffle = timed_score(False)
+    score_bc_sec, _, s_bc = timed_score(True)
+    # same pre-rounded terms either way; association order may differ
+    assert abs(s_shuffle - s_bc) < 1e-3 * max(abs(s_shuffle), 1.0)
+    return train_sec, score_sec, score_bc_sec, n
 
 
 def main():
@@ -109,9 +116,10 @@ def main():
 
     spark = build_spark(32)
     spark.sparkContext.setLogLevel("ERROR")
-    train32, score32, n_scored = run_lm(spark, n_docs)
+    train32, score32, score_bc32, n_scored = run_lm(spark, n_docs)
     out["train_sec_c32"] = round(train32, 2)
     out["score_sec_c32"] = round(score32, 2)
+    out["score_broadcast_sec_c32"] = round(score_bc32, 2)
     assert n_scored == n_docs
 
     from phphinder_spark.ops.dedup import dedup_paragraphs
@@ -129,13 +137,15 @@ def main():
     # second parallelism level for the scaling line
     spark = build_spark(8)
     spark.sparkContext.setLogLevel("ERROR")
-    train8, score8, _ = run_lm(spark, n_docs)
+    train8, score8, score_bc8, _ = run_lm(spark, n_docs)
     out["train_sec_c8"] = round(train8, 2)
     out["score_sec_c8"] = round(score8, 2)
+    out["score_broadcast_sec_c8"] = round(score_bc8, 2)
     spark.stop()
 
     # efficiency of the train+score composite going 8 -> 32 cores
-    t8, t32 = train8 + score8, train32 + score32
+    # (broadcast scoring — the 100 TB shape: map-only up to the rollup)
+    t8, t32 = train8 + score_bc8, train32 + score_bc32
     out["lm_scaling_efficiency_8to32"] = round((t8 / t32) / 4.0, 3)
 
     with open("/root/repo/BENCH_lm.json", "w") as f:

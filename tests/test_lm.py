@@ -205,3 +205,18 @@ def test_dsir_log_weights_semantics(spark):
     # top-1 selection picks the target-like doc; NULL logw sorts last
     top = dsir_select_topk(dsir_log_weights(docs, lm_t, lm_r), 2).collect()
     assert [r.doc_id for r in top] == [10, 11]
+
+
+def test_score_broadcast_lm_equivalent(spark):
+    """broadcast_lm=True is a join-strategy hint only — per-doc rows
+    must match the shuffle path exactly (same pre-rounded terms)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    a = sorted(map(tuple, score_perplexity(docs, lm).collect()))
+    b = sorted(
+        map(
+            tuple,
+            score_perplexity(docs, lm, broadcast_lm=True).collect(),
+        )
+    )
+    assert a == b
