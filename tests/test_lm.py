@@ -220,3 +220,23 @@ def test_score_broadcast_lm_equivalent(spark):
         )
     )
     assert a == b
+
+
+def _plan_of(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_broadcast_lm_plan_has_no_bigram_shuffle(spark):
+    """broadcast_lm=True: all three LM joins are broadcast-hash, so the
+    only Exchange left is the per-doc rollup (plus the final id
+    re-attach) — the corpus is never shuffled on the bigram key."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lm = train_bigram_lm(docs).localCheckpoint()
+    plan = _plan_of(score_perplexity(docs, lm, broadcast_lm=True))
+    # the only sort-merge join allowed is the final doc-id re-attach;
+    # no join (hence no exchange) may be keyed on the bigram columns
+    assert "SortMergeJoin [w1" not in plan
+    assert "hashpartitioning(w1" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # obs + backoff

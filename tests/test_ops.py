@@ -650,3 +650,39 @@ def test_word_vocabulary(spark):
     ]
     assert {r.token for r in word_vocabulary(docs, min_count=2).collect()} \
         == {"a", "b"}
+
+
+def test_dedup_paragraphs_plan_two_exchanges(spark):
+    """Exactly two shuffles end-to-end: the paragraph-keyed winner min
+    and the doc-keyed rebuild; no third corpus-scale branch."""
+    from phphinder_spark.ops.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pview = docs.select(
+        "doc_id", F.regexp_replace("text", r"\bline\b", "\n").alias("text")
+    )
+    df = dedup_paragraphs(pview)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    # formatted mode lists each shuffle Exchange's keys in its
+    # "Arguments: hashpartitioning(...)" detail line
+    shuffles = _re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert sorted(set(shuffles)) == ["id", "para"]
+    assert len(shuffles) == 2
+
+
+def test_word_vocabulary_plan_topk(spark):
+    """Top-k selection must be TakeOrderedAndProject (per-partition
+    heads + k-sized merge), never a global Sort."""
+    from phphinder_spark.ops.textstats import word_vocabulary
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = word_vocabulary(docs, k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan.split("TakeOrderedAndProject")[0]
