@@ -133,6 +133,12 @@ def main() -> None:
     from phphinder_spark.ops.sampling import mixture_sample
     from phphinder_spark.ops.pipeline import prepare_training_corpus
 
+    from phphinder_spark.ops.sampling import temperature_rates
+
+    # alpha-temperature rebalance (mT5/XLM-R): head languages
+    # downsampled so kept counts follow n^alpha
+    print("temperature rates:", temperature_rates(docs, alpha=0.3))
+
     mixed = mixture_sample(docs, {"en": 1.0, "de": 0.5}, group_col="lang",
                            default_rate=0.25)
     print("mixture kept:", mixed.count(), "of", docs.count())

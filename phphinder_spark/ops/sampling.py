@@ -85,3 +85,42 @@ def mixture_sample(
         else F.lit(threshold_hex(default_rate))
     )
     return df.where(_hash_prefix(key_col, salt) < thr)
+
+
+def temperature_rates(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> dict[str, float]:
+    """Temperature-based rebalancing rates (the multilingual-corpus
+    recipe of mT5 / XLM-R: sample groups proportional to n^alpha so
+    head languages stop drowning the tail; alpha=1 keeps the natural
+    distribution, alpha->0 approaches uniform).
+
+    Keep-rates are r_g = (n_g / n_min) ** (alpha - 1) — proportional to
+    n_g^(alpha-1), normalized so the SMALLEST group keeps everything
+    (pure downsampling; no group is upsampled). Kept counts are then
+    proportional to n_g^alpha. Rates are rounded to ``round_to`` so the
+    returned dict replays identically anywhere.
+
+    Driver-side by design: the aggregate is group-cardinality-sized
+    (languages/domains — tens to thousands of rows), and the result
+    feeds ``mixture_sample``'s literal rate map, keeping the sampling
+    pass itself shuffle-free. One combining count shuffle total.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r.g: r.n
+        for r in docs.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {
+        g: round((n / n_min) ** (alpha - 1.0), round_to)
+        for g, n in counts.items()
+    }

@@ -247,3 +247,63 @@ def test_prepare_training_corpus_composes_the_stages(docs, spark):
         doc_id, _, _, n_tokens, seq_id, seq_offset = r
         assert seq_id * 128 + seq_offset == pos
         pos += n_tokens
+
+
+# --- temperature rebalancing ---
+
+
+def test_temperature_rates_hand_math(spark):
+    from phphinder_spark.ops.sampling import temperature_rates
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(i + 100, "de") for i in range(25)]
+        + [(i + 200, "fr") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    r = temperature_rates(docs, alpha=0.5)
+    # r_g = (n_g / n_min) ** (alpha - 1); n_min = 5 (fr)
+    assert r["fr"] == 1.0
+    assert r["de"] == round((25 / 5) ** -0.5, 6)
+    assert r["en"] == round((100 / 5) ** -0.5, 6)
+    # kept counts proportional to n^alpha: en/de expected ratio 2 = sqrt(4)
+    assert abs((100 * r["en"]) / (25 * r["de"]) - 2.0) < 1e-9
+    # alpha=1 keeps the natural distribution (all rates 1.0)
+    assert set(temperature_rates(docs, alpha=1.0).values()) == {1.0}
+    # alpha=0 equalizes expected kept counts across groups
+    r0 = temperature_rates(docs, alpha=0.0)
+    assert abs(100 * r0["en"] - 5) < 1e-3 and abs(25 * r0["de"] - 5) < 1e-3
+
+
+def test_temperature_rates_compose_with_mixture(spark):
+    from phphinder_spark.ops.sampling import (
+        mixture_sample,
+        temperature_rates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = temperature_rates(docs, alpha=0.3)
+    kept = mixture_sample(docs, rates, group_col="lang")
+    # deterministic: same rates + same hashes => identical re-run
+    again = mixture_sample(docs, rates, group_col="lang")
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in again.select("doc_id").collect())
+    # the smallest language is never downsampled
+    n_by = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    smallest = min(n_by, key=n_by.get)
+    assert rates[smallest] == 1.0
+    k_by = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert k_by[smallest] == n_by[smallest]
+
+
+def test_temperature_rates_edges(spark):
+    from phphinder_spark.ops.sampling import temperature_rates
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    assert temperature_rates(docs) == {"en": 1.0}
+    empty = docs.where("doc_id < 0")
+    assert temperature_rates(empty) == {}
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_rates(docs, alpha=-0.1)
