@@ -582,6 +582,16 @@ def _q_remove_dup_spans(spark, sf_dir):
     return textstats.remove_duplicate_spans(_documents(spark, sf_dir), n=8)
 
 
+def _q_remove_contaminated(spark, sf_dir):
+    """Surgical decontamination (removal form of text_decontaminate):
+    tokens covered by any 3-gram shared with the benchmark slice
+    (doc_id % 41 == 0) are cut and the doc rebuilt; same n=3 rationale
+    as text_decontaminate."""
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    return textstats.remove_contaminated_spans(docs, bench, n=3)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style pre-training batch
     prep): docs in doc_id order are laid end-to-end and cut every 256
@@ -771,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": _q_decontaminate,
         "text_dup_spans": _q_dup_spans,
         "text_remove_dup_spans": _q_remove_dup_spans,
+        "text_remove_contaminated": _q_remove_contaminated,
         "text_pack_sequences": _q_pack_sequences,
         "sample_mixture": _q_sample_mixture,
         "pipeline_clean_corpus": _q_pipeline_clean,
@@ -1697,6 +1708,33 @@ sp AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS i FROM spl)
 hot AS (SELECT g FROM (SELECT g, count(*) AS c FROM sp GROUP BY g) WHERE c >= 2),
 cov AS (SELECT DISTINCT sp.doc_id, sp.i + r.off AS pos
         FROM sp JOIN hot USING (g), (SELECT unnest(range(0, 8)) AS off) r),
+tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM t),
+keptagg AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned,
+         count(*) AS n_kept
+  FROM (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)) k
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+  CASE WHEN t.toks IS NULL THEN NULL ELSE coalesce(ka.cleaned, '') END
+    AS cleaned,
+  CAST(coalesce(len(t.toks), 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(len(t.toks), 0) - coalesce(ka.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM t LEFT JOIN keptagg ka ON t.doc_id = ka.doc_id
+""".format(toks=_TOKS),
+        # surgical decontamination: same span arithmetic as
+        # text_remove_dup_spans, but the hot set is the benchmark's
+        # distinct 3-grams instead of corpus-duplicated spans
+        "text_remove_contaminated": """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+spl AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-2, 0)+1),
+        i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS gs FROM t),
+sp AS (SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS i FROM spl),
+hot AS (SELECT DISTINCT g FROM sp WHERE doc_id % 41 = 0),
+cov AS (SELECT DISTINCT sp.doc_id, sp.i + r.off AS pos
+        FROM sp JOIN hot USING (g), (SELECT unnest(range(0, 3)) AS off) r),
 tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
         FROM t),
 keptagg AS (

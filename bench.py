@@ -103,6 +103,7 @@ def main() -> None:
                  "text_repetition", "text_decontaminate",
                  "text_pack_sequences", "sample_mixture",
                  "text_remove_dup_spans", "text_perplexity",
+                 "text_remove_contaminated",
                  "dedup_paragraphs", "dsir_weights",
                  "pipeline_clean_corpus", "pipeline_clean_full",
                  "pipeline_train_prep"):

@@ -163,6 +163,30 @@ def _word_ngrams(col: str, n: int) -> F.Column:
 _MAX_BENCH_GRAM_ROWS = 5_000_000
 
 
+def _benchmark_gram_set(
+    benchmark: DataFrame, n: int, col: str
+) -> DataFrame:
+    """Distinct benchmark n-gram set, checkpoint-materialized exactly
+    once (the guard count is the materializing action), guarded against
+    corpus-sized inputs — the set is broadcast to every executor."""
+    bgrams = (
+        benchmark.select(F.explode(_word_ngrams(col, n)).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_bgrams = bgrams.count()
+    if n_bgrams > _MAX_BENCH_GRAM_ROWS:
+        raise ValueError(
+            f"benchmark side has {n_bgrams} distinct {n}-grams, over "
+            f"_MAX_BENCH_GRAM_ROWS={_MAX_BENCH_GRAM_ROWS}: the benchmark "
+            "frame is broadcast to every executor, so a corpus-sized "
+            "input here is a wrong operator choice — for corpus-vs-corpus "
+            "overlap use the dedup operators (minhash_lsh_pairs / "
+            "jaccard_ngram_pairs), which shuffle instead of broadcasting"
+        )
+    return bgrams
+
+
 def ngram_contamination(
     df: DataFrame,
     benchmark: DataFrame,
@@ -191,28 +215,7 @@ def ngram_contamination(
     corpus-vs-corpus comparison — use the dedup operators' shuffled
     joins, not a broadcast probe)."""
     grams = _word_ngrams(col, n)
-    bgrams = (
-        benchmark.select(
-            F.explode(_word_ngrams(bench_col or col, n)).alias("g")
-        )
-        .distinct()
-        # lazy checkpoint: the guard count below is the materializing
-        # action (one job, not checkpoint-job + count-job), and the
-        # broadcast probe reads the same materialized blocks — the gram
-        # set still evaluates exactly once
-        .localCheckpoint(eager=False)
-    )
-    n_bgrams = bgrams.count()
-    if n_bgrams > _MAX_BENCH_GRAM_ROWS:
-        raise ValueError(
-            f"ngram_contamination benchmark side has {n_bgrams} distinct "
-            f"{n}-grams, over _MAX_BENCH_GRAM_ROWS={_MAX_BENCH_GRAM_ROWS}: "
-            "the benchmark frame is broadcast to every executor, so a "
-            "corpus-sized input here is a wrong operator choice — for "
-            "corpus-vs-corpus overlap use the dedup operators "
-            "(minhash_lsh_pairs / jaccard_ngram_pairs), which shuffle "
-            "instead of broadcasting"
-        )
+    bgrams = _benchmark_gram_set(benchmark, n, bench_col or col)
     doc_grams = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
     hits = (
         doc_grams.join(F.broadcast(bgrams), "g")
@@ -343,6 +346,16 @@ def remove_duplicate_spans(
         .groupBy("doc_id")
         .agg(F.collect_set("i0").alias("starts"))
     )
+    return _cut_flagged_spans(base, flagged, n)
+
+
+def _cut_flagged_spans(
+    base: DataFrame, flagged: DataFrame, n: int
+) -> DataFrame:
+    """Shared rebuild tail for the span-removal ops: union the flagged
+    start positions into covered token indices (overlaps merge via
+    array_distinct), cut them, re-join the survivors. ``base`` carries
+    (doc_id, toks); ``flagged`` carries (doc_id, starts)."""
     covered = F.array_distinct(
         F.flatten(
             F.transform(
@@ -367,6 +380,45 @@ def remove_duplicate_spans(
         .alias("n_tokens"),
         F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str | None = None,
+) -> DataFrame:
+    """Surgical benchmark decontamination: instead of DROPPING every
+    contaminated document (:func:`ngram_contamination` + filter — the
+    GPT-3 §C form, which discards whole docs for one shared gram), cut
+    ONLY the tokens covered by an n-gram that appears in the benchmark
+    and rebuild the doc — the removal surgery some pipelines prefer
+    when contaminated docs are otherwise high-quality.
+
+    Returns (doc_id, cleaned, n_tokens, n_removed) — the same schema
+    and overlap-union semantics as :func:`remove_duplicate_spans`.
+
+    Scale: the benchmark gram set is distinct-ed, guarded, and
+    BROADCAST (same contract as :func:`ngram_contamination`); corpus
+    spans are generated map-side and probed against the broadcast set,
+    so the only shuffle is the per-doc collect_set of flagged starts —
+    keyed on uniform doc ids, bounded by doc length. The corpus is
+    never shuffled by gram."""
+    bgrams = _benchmark_gram_set(benchmark, n, bench_col or col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(col).alias("toks"),
+        _word_ngrams(col, n).alias("gs"),
+    )
+    spans = base.select("doc_id", F.posexplode("gs").alias("i0", "g"))
+    flagged = (
+        spans.join(F.broadcast(bgrams), "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i0").alias("starts"))
+    )
+    return _cut_flagged_spans(base, flagged, n)
 
 
 def repetition_stats(

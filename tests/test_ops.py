@@ -686,3 +686,43 @@ def test_word_vocabulary_plan_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort (" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_remove_contaminated_spans(spark):
+    """Surgical decontamination: only benchmark-covered tokens are cut
+    (overlap-union), clean docs pass through untouched, and agreement
+    with the flag op holds (n_removed > 0 <=> contaminated)."""
+    from phphinder_spark.ops.textstats import (
+        ngram_contamination,
+        remove_contaminated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),    # 'bb cc dd' contaminated
+            (2, "xx yy zz ww"),          # clean
+            (3, "bb cc dd bb cc dd"),    # two overlapping hits
+            (4, None),                   # NULL propagates
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "qq bb cc dd rr")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_contaminated_spans(docs, bench, n=3).collect()
+    }
+    assert out[1].cleaned == "aa ee ff"
+    assert (out[1].n_tokens, out[1].n_removed) == (6, 3)
+    assert out[2].cleaned == "xx yy zz ww" and out[2].n_removed == 0
+    # doc 3: spans at 0 and 3 both match -> all 6 tokens covered
+    assert out[3].cleaned == "" and out[3].n_removed == 6
+    assert out[4].cleaned is None and out[4].n_removed == 0
+    # agreement with the flag op
+    flags = {
+        r.doc_id: r.contaminated
+        for r in ngram_contamination(docs, bench, n=3).collect()
+    }
+    for d in (1, 2, 3):
+        assert flags[d] == (out[d].n_removed > 0)
