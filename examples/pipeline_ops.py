@@ -120,6 +120,13 @@ def main() -> None:
         "bucket"
     ).count().show()
 
+    # ---- surgical decontamination: cut benchmark-overlapping spans
+    # instead of dropping contaminated docs whole
+    bench_slice = docs.where(F.col("doc_id") % 41 == 0)
+    surg = textstats.remove_contaminated_spans(docs, bench_slice, n=3)
+    print("tokens cut by decontamination surgery:",
+          surg.agg(F.sum("n_removed")).collect()[0][0])
+
     # ---- DSIR data selection: importance-weight docs toward a target
     # domain (two bigram LMs), take the best-matching head
     lm_target = lm.train_bigram_lm(docs.where(F.col("lang") == "en"))

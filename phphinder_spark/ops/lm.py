@@ -15,7 +15,11 @@ bigram model:
   global OOV) — into per-doc NLL and perplexity.
 - ``perplexity_buckets``: CCNet's head/middle/tail split at caller-fixed
   literal cutoffs (quantile cutoffs differ across engines; literal
-  thresholds replay exactly in SQL).
+  thresholds replay exactly in SQL); ``suggest_cutoffs`` derives
+  candidate literals from the score distribution once, to be pinned.
+- ``dsir_log_weights`` / ``dsir_select_topk``: DSIR importance
+  resampling (Xie et al. 2023) — log p_target - log p_raw under two LM
+  artifacts, plus deterministic top-k selection.
 
 Everything is JVM-side (split/slice/zip_with + joins + aggs — no Python
 in any hot path) and every step is deterministic: counts are exact
@@ -253,3 +257,19 @@ def dsir_select_topk(weights: DataFrame, k: int) -> DataFrame:
     return weights.orderBy(
         F.col("logw").desc_nulls_last(), F.col(id_col)
     ).limit(int(k))
+
+
+def suggest_cutoffs(
+    scored: DataFrame, q: tuple[float, float] = (1 / 3, 2 / 3)
+) -> tuple[float, float]:
+    """Candidate (lo, hi) perplexity cutoffs at the given quantiles of a
+    ``score_perplexity`` result — a one-time helper for picking the
+    literals ``perplexity_buckets`` wants (CCNet computes its cutoffs
+    once on a reference corpus and pins them; quantile INTERPOLATION is
+    engine-specific, which is exactly why the bucket op takes literals
+    instead of recomputing quantiles per run). Uses approxQuantile
+    (aggregate-sized driver transfer, no collect of the corpus)."""
+    lo, hi = scored.where(F.col("ppl").isNotNull()).approxQuantile(
+        "ppl", [float(q[0]), float(q[1])], 0.001
+    )
+    return float(lo), float(hi)

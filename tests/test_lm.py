@@ -240,3 +240,26 @@ def test_broadcast_lm_plan_has_no_bigram_shuffle(spark):
     assert "SortMergeJoin [w1" not in plan
     assert "hashpartitioning(w1" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # obs + backoff
+
+
+def test_suggest_cutoffs(spark):
+    from phphinder_spark.ops.lm import suggest_cutoffs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lm = train_bigram_lm(docs)
+    scored = score_perplexity(docs, lm)
+    lo, hi = suggest_cutoffs(scored)
+    ppls = sorted(
+        r.ppl for r in scored.select("ppl").collect() if r.ppl is not None
+    )
+    assert ppls[0] <= lo <= hi <= ppls[-1]
+    # buckets under the suggested literals split into three non-empty
+    # groups on this corpus
+    counts = {
+        r.bucket: r["count"]
+        for r in perplexity_buckets(scored, lo, hi)
+        .groupBy("bucket")
+        .count()
+        .collect()
+    }
+    assert set(counts) == {"head", "middle", "tail"}
