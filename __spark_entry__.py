@@ -1755,7 +1755,8 @@ FROM t LEFT JOIN keptagg ka ON t.doc_id = ka.doc_id
         # plain global window cumsum (fine at oracle scale; the Spark
         # side distributes the identical arithmetic)
         "text_pack_sequences": """
-WITH t AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
+WITH t AS (SELECT doc_id, coalesce(len({toks}), 0) AS n_tokens
+           FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
          coalesce(sum(n_tokens) OVER (ORDER BY doc_id

@@ -509,14 +509,23 @@ class KVStorage(IndexStorage):
         # toLocalIterator (never a whole-batch collect); the only
         # whole-batch driver structures are the id set and the reverse
         # post-key map — O(batch ids + batch vocabulary), not O(rows).
-        # Each input frame is evaluated exactly ONCE (localCheckpoint at
-        # entry): the id scan, the guard counts and the insert streams all
-        # read the same materialized blocks, so a non-deterministic input
-        # (rand/monotonically_increasing_id/mutable source) cannot make
-        # the delete arm's batch_ids diverge from the inserted rows — and
-        # the guard no longer pays two full-DAG count jobs per commit.
-        new_docs = new_docs.localCheckpoint(eager=True)
-        new_postings = new_postings.localCheckpoint(eager=True)
+        # Each input PARTITION is evaluated exactly ONCE (LAZY
+        # localCheckpoint at entry: every computed partition is cached on
+        # first touch, so the id scan, the guard probes and the insert
+        # streams all read the same blocks and a non-deterministic input
+        # — rand/monotonically_increasing_id/mutable source — cannot make
+        # the delete arm's batch_ids diverge from the inserted rows).
+        # Lazy (not eager) matters for the guard itself: an oversized
+        # batch must fail fast, BEFORE the whole frame materializes into
+        # executor memory/disk blocks — both probes stream partition-at-
+        # a-time (toLocalIterator) and raise the moment the cap is
+        # crossed, so partitions past the crossing point NEVER run
+        # (round-7 fix; eager checkpointing paid full materialization
+        # before the guard could trip). An under-budget probe drains —
+        # and therefore caches — every partition, so the insert streams
+        # below re-read the same blocks, not the DAG.
+        new_docs = new_docs.localCheckpoint(eager=False)
+        new_postings = new_postings.localCheckpoint(eager=False)
         batch_ids: set[int] = set()
         n_docs = 0
         for r in new_docs.select("doc_id").toLocalIterator():
@@ -524,9 +533,12 @@ class KVStorage(IndexStorage):
             n_docs += 1
             if n_docs > self._MAX_COMMIT_ROWS:
                 self._raise_too_big(f"> {self._MAX_COMMIT_ROWS} doc rows")
-        n_rows = n_docs + new_postings.count()
-        if n_rows > self._MAX_COMMIT_ROWS:
-            self._raise_too_big(f"{n_rows} rows")
+        post_budget = self._MAX_COMMIT_ROWS - n_docs
+        n_post = 0
+        for _ in new_postings.select(F.lit(1)).toLocalIterator():
+            n_post += 1
+            if n_post > post_budget:
+                self._raise_too_big(f"> {self._MAX_COMMIT_ROWS} rows")
         superseded = batch_ids | {int(i) for i in replaced_doc_ids}
         with self._open("w") as db:
             if b"meta:docs_schema" not in db:

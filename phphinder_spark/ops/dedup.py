@@ -438,22 +438,30 @@ def connected_components(
     # both algorithms' outputs (label-prop seeds from groupBy(u) over the
     # symmetrized edges; the star steps preserve the node set of every
     # >= 2-node component), so only self-loop-ONLY ids can be missing —
-    # re-attach exactly those at the end. The probe is a limit-1 filtered
-    # scan of pairs; the common no-self-pair case (a < b pair generators:
-    # minhash/simhash bands, jaccard blocks) costs no extra shuffle at
-    # all, vs. the corpus-scale distinct-all-ids + left join this
-    # replaced (round-6 contract fix, made O(#self-pairs) here).
-    self_ids = pairs.where(F.col(a_col) == F.col(b_col)).select(
-        F.col(a_col).alias("id")
-    )
-    ids = self_ids if not self_ids.isEmpty() else None
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .where(F.col("u") != F.col("v"))
+    # re-attach exactly those at the end. The upstream pairs DAG (the
+    # expensive LSH/banding leg) is evaluated exactly ONCE: the
+    # symmetrize+distinct checkpoint below keeps self-loops, and both the
+    # self-id probe and the edge set read the materialized blocks
+    # (round-7 fix — the previous separate pairs.where(a==b).isEmpty()
+    # probe re-evaluated the whole pairs plan before the checkpoint did;
+    # symmetrization is a single-scan explode, not a union of two
+    # selects, which would scan the pairs DAG twice).
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    self_ids = sym.where(F.col("u") == F.col("v")).select(F.col("u").alias("id"))
+    ids = self_ids if not self_ids.isEmpty() else None
+    edges = sym.where(F.col("u") != F.col("v"))
     if metrics is None:
         metrics = {}
     metrics.setdefault("label_rounds", 0)
@@ -767,6 +775,10 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = None,
+    srp_bits: int = 8,
+    srp_tables: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
     semantic deduplication — the embedding-space analogue of the text
@@ -794,45 +806,90 @@ def semantic_dedup(
     argmax — zero corpus shuffle up to 128 centroids, one uniform
     vec_id shuffle above); the pair leg self-joins per cell, so cost is
     sum(|cell|^2) — pick n_centroids ~ N / desired_cell_size exactly as
-    the paper does (they use k=50k on LAION). A pathological giant cell
-    is the same failure mode as a hot LSH bucket: sub-block it by
-    composing with ``embedding_dup_pairs_srp`` inside the cell. The
-    assignment is lazily localCheckpoint-ed so the pair leg and the
-    output leg read ONE evaluation.
+    the paper does (they use k=50k on LAION). ``max_cell`` bounds the
+    pathological-giant-cell failure mode (the embedding analogue of a
+    hot LSH bucket): cells whose population exceeds it are SUB-BLOCKED
+    with Rademacher SRP — their pair join runs per (cell, table,
+    bucket) instead of per cell, so a cell of size M costs
+    ~tables x M²/2^bits, not M². Inside an oversized cell the prune
+    becomes approximate with the standard SRP recall
+    (1-(1-(1-θ/π)^bits)^tables, ~0.97 at cosine 0.95 with the
+    defaults); cells within budget keep the exact paper semantics, so
+    ``max_cell=None`` (default, the oracle-certified path) is exact
+    everywhere. The assignment is lazily localCheckpoint-ed so the pair
+    leg and the output leg read ONE evaluation; the cell-size probe is
+    a centroid-cardinality aggregate, never corpus-scale.
     """
-    from phphinder_spark.ops.similarity import assign_centroids
+    from phphinder_spark.ops.similarity import (
+        assign_centroids,
+        rademacher_planes,
+        srp_bucket_col,
+    )
 
     assign = assign_centroids(emb, centroids, id_col, vec_col).localCheckpoint(
         eager=False
     )
-    a = assign.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cv").alias("a_v"),
-        "cid",
-        F.col("cent_sim").alias("a_sim"),
-    )
-    b = assign.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cv").alias("b_v"),
-        "cid",
-        F.col("cent_sim").alias("b_sim"),
-    )
-    earlier = (F.col("a_sim") < F.col("b_sim")) | (
-        (F.col("a_sim") == F.col("b_sim")) & (F.col("a_id") < F.col("b_id"))
-    )
-    dot = F.aggregate(
-        F.zip_with("a_v", "b_v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pruned = (
-        a.join(b, "cid")
-        .where(earlier)
-        .withColumn("cosine", F.round(dot, 6))
-        .where(F.col("cosine") >= threshold)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
+
+    def _pruned_ids(part: DataFrame, keys: list[str]) -> DataFrame:
+        a = part.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("cv").alias("a_v"),
+            *keys,
+            F.col("cent_sim").alias("a_sim"),
+        )
+        b = part.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cv").alias("b_v"),
+            *keys,
+            F.col("cent_sim").alias("b_sim"),
+        )
+        earlier = (F.col("a_sim") < F.col("b_sim")) | (
+            (F.col("a_sim") == F.col("b_sim")) & (F.col("a_id") < F.col("b_id"))
+        )
+        dot = F.aggregate(
+            F.zip_with("a_v", "b_v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            a.join(b, keys)
+            .where(earlier)
+            .withColumn("cosine", F.round(dot, 6))
+            .where(F.col("cosine") >= threshold)
+            .select(F.col("b_id").alias("vec_id"))
+        )
+
+    big_cids: list[int] = []
+    if max_cell is not None:
+        if max_cell < 2:
+            raise ValueError(f"max_cell must be >= 2, got {max_cell}")
+        sizes = assign.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        big_cids = sorted(int(r["cid"]) for r in sizes if r["n"] > max_cell)
+    if not big_cids:
+        pruned = _pruned_ids(assign, ["cid"]).distinct()
+    else:
+        planes = rademacher_planes(
+            len(centroids[0][1]), srp_bits, srp_tables, seed
+        )
+        big = assign.where(F.col("cid").isin(big_cids)).select(
+            "vec_id",
+            "cv",
+            "cid",
+            "cent_sim",
+            F.posexplode(
+                F.array(
+                    *[
+                        srp_bucket_col(F.col("cv"), planes[t])
+                        for t in range(srp_tables)
+                    ]
+                )
+            ).alias("tbl", "bkt"),
+        )
+        pruned = (
+            _pruned_ids(assign.where(~F.col("cid").isin(big_cids)), ["cid"])
+            .unionByName(_pruned_ids(big, ["cid", "tbl", "bkt"]))
+            .distinct()
+        )
     return (
         assign.join(
             pruned.withColumn("pruned", F.lit(True)), "vec_id", "left"
@@ -913,6 +970,7 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     text_col: str = "text",
     joiner: str = "\n",
+    hash_key: bool = False,
 ) -> DataFrame:
     """CCNet-style paragraph-level deduplication (Wenzek et al. 2020 §3:
     web corpora are deduplicated per PARAGRAPH, not per document — the
@@ -936,9 +994,18 @@ def dedup_paragraphs(
     winner side carries one row per distinct paragraph). The rebuild is
     a doc-keyed collect_list bounded by paragraphs-per-doc. The winner
     is a lexicographic min over struct(id, pos) — no composite integer
-    key, so 64-bit hash doc ids cannot overflow it; the join key can be
-    pre-hashed to xxhash64 by the caller, but the string key keeps the
-    op collision-free.
+    key, so 64-bit hash doc ids cannot overflow it.
+
+    ``hash_key=True`` is the 100-TB form: paragraph STRINGS leave every
+    exchange entirely — the winner groupBy and flag join shuffle
+    ``xxhash64(para)`` longs with only (id, pos) alongside, the doc
+    rollup shuffles winning POSITIONS, and the doc is rebuilt MAP-SIDE
+    from its original text (re-split + position filter), so shuffle
+    bytes are O(paragraph instances × 20B) instead of carrying every
+    paragraph body twice. A 64-bit collision can merge two distinct
+    paragraphs (~instances²/2^65 — negligible at real scales); the
+    default string key stays collision-free and is the oracle-certified
+    path (both forms are equivalence-tested in tests/test_ops.py).
     """
     paras = (
         docs.select(
@@ -950,6 +1017,8 @@ def dedup_paragraphs(
         .withColumn("para", F.trim("para"))
         .where(F.col("para") != "")
     )
+    if hash_key:
+        paras = paras.select("id", "pos", F.xxhash64("para").alias("para"))
     first = paras.groupBy("para").agg(
         F.min(F.struct("id", "pos")).alias("w")
     )
@@ -961,6 +1030,36 @@ def dedup_paragraphs(
         "is_win",
         (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")),
     )
+    if hash_key:
+        # strings never shuffled: roll up winning POSITIONS per doc, then
+        # rebuild map-side from the original text (re-split + trim +
+        # position filter replays the same pieces the explode saw)
+        stats = flagged.groupBy("id").agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.when(F.col("is_win"), 1).otherwise(0)).alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_win"), F.col("pos")))
+            ).alias("win_pos"),
+        )
+        pieces = F.split(F.col(text_col), split_regex)
+        return (
+            docs.select(F.col(id_col).alias("id"), F.col(text_col))
+            .join(stats, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.array_join(
+                    F.transform(
+                        F.coalesce("win_pos", F.array().cast("array<int>")),
+                        lambda p: F.trim(F.element_at(pieces, p + 1)),
+                    ),
+                    joiner,
+                ).alias("text"),
+                F.coalesce("n_paragraphs", F.lit(0))
+                .cast("long")
+                .alias("n_paragraphs"),
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            )
+        )
     rebuilt = flagged.groupBy("id").agg(
         F.count("*").alias("n_paragraphs"),
         F.sum(F.when(F.col("is_win"), 1).otherwise(0)).alias("n_kept"),

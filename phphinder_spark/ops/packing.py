@@ -82,13 +82,23 @@ def pack_sequences(
     Token counts come from ``tokens_col_name`` if given (a precomputed
     count column, e.g. from :func:`token_counts`), else from the shared
     ``\\W+`` tokenizer over ``text_col``.
+
+    NULL contract: a NULL text (or NULL precomputed count) contributes
+    **0 tokens** — the doc attaches to the stream position like an empty
+    doc. Without the guard, legacy ``F.size(NULL)`` returns ``-1``, which
+    would silently shift the global prefix sum (negative ``seq_offset``
+    for every later doc), and a NULL count would crash the Arrow cumsum.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     if tokens_col_name is not None:
-        n_tok = F.col(tokens_col_name).cast("long")
+        n_tok = F.coalesce(F.col(tokens_col_name).cast("long"), F.lit(0))
     else:
-        n_tok = F.size(tokens_col(text_col)).cast("long")
+        # guard BOTH legs: legacy size(NULL) = -1, ANSI size(NULL) = NULL
+        n_tok = F.when(
+            F.col(text_col).isNotNull(), F.size(tokens_col(text_col))
+        ).otherwise(F.lit(0)).cast("long")
+        n_tok = F.coalesce(n_tok, F.lit(0))
     base = df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
 
     n_parts = num_partitions or int(

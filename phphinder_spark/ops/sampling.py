@@ -9,11 +9,15 @@ agree row-for-row (the oracle replays the identical predicate in DuckDB,
 whose ``sha256``/``concat_ws`` match Spark's byte-for-byte on strings).
 
 ``mixture_sample`` applies a per-group rate map on top — the data-mixing
-step of LLM pipelines (sample Wikipedia at 3x, common-crawl at 0.2x,
-code at 1x ...; the domain-reweighting knob of Gopher/DoReMi-style
-recipes). Rates fold into ONE literal ``map`` Column, so the whole op is
-a map-side projection + filter: zero shuffles, zero joins, trivially
-scale-proof at 100 TB.
+step of LLM pipelines (keep common-crawl at 0.2x, code at 1x ...; the
+domain-reweighting knob of Gopher/DoReMi-style recipes). Rates fold into
+ONE literal ``map`` Column, so the whole op is a map-side projection +
+filter: zero shuffles, zero joins, trivially scale-proof at 100 TB.
+``mixture_sample`` is strictly a DOWNSAMPLER (rates in [0, 1]; rates
+above 1 raise). Upweighting ("sample Wikipedia at 3x") is
+``mixture_upsample``: each row is replicated ``floor(r)`` times plus one
+more with deterministic probability ``frac(r)`` — a map-side explode,
+still zero shuffles, with a ``copy_id`` column disambiguating replicas.
 
 Threshold encoding: the hash prefix is compared as a FIXED-WIDTH (15
 hex chars = 60 bits) lowercase hex string, so lexicographic order is
@@ -61,6 +65,75 @@ def deterministic_sample(
     return df.where(_hash_prefix(key_col, salt) < F.lit(threshold_hex(fraction)))
 
 
+def _reject_upsample_rates(
+    rates: dict[str, float], default_rate: float, op: str
+) -> None:
+    over = sorted(g for g, r in rates.items() if r > 1.0)
+    if default_rate > 1.0:
+        over.append(f"default_rate={default_rate}")
+    if over:
+        raise ValueError(
+            f"{op} is downsample-only (a keep-predicate cannot emit a row "
+            f"more than once); got rates > 1 for {over}. "
+            "Use mixture_upsample for upweighting."
+        )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "phphinder",
+) -> DataFrame:
+    """Per-group deterministic UP/DOWN-sampling by row replication: each
+    row is emitted ``floor(r)`` times plus one more iff its
+    ``sha256(salt | key)`` prefix falls below ``frac(r)`` — so expected
+    multiplicity is exactly ``r`` and kept counts are reproducible across
+    engines and re-runs (same predicate family as
+    :func:`deterministic_sample`). A ``copy_id`` column (0-based)
+    disambiguates replicas; ``r <= 1`` degrades to the same keep-set as
+    :func:`mixture_sample` with ``copy_id = 0``.
+
+    Scale: the rate map and thresholds are literal expressions and the
+    replication is ``explode(sequence(...))`` — map-side only, zero
+    shuffles, zero joins. Output size is sum(n_g * r_g); rates are the
+    caller's contract (Gopher-style mixes rarely exceed ~5x).
+    """
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    whole_entries: list[F.Column] = []
+    frac_entries: list[F.Column] = []
+    for group in sorted(rates):
+        r = rates[group]
+        whole_entries += [F.lit(group), F.lit(int(r))]
+        frac_entries += [F.lit(group), F.lit(threshold_hex(r - int(r)))]
+    g = F.col(group_col).cast("string")
+    if whole_entries:
+        whole = F.coalesce(
+            F.create_map(*whole_entries)[g], F.lit(int(default_rate))
+        )
+        frac_thr = F.coalesce(
+            F.create_map(*frac_entries)[g],
+            F.lit(threshold_hex(default_rate - int(default_rate))),
+        )
+    else:
+        whole = F.lit(int(default_rate))
+        frac_thr = F.lit(threshold_hex(default_rate - int(default_rate)))
+    n_copies = whole + F.when(
+        _hash_prefix(key_col, salt) < frac_thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "copy_id", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -71,7 +144,12 @@ def mixture_sample(
 ) -> DataFrame:
     """Per-group deterministic sampling: keep each row with the rate its
     ``group_col`` value maps to (``default_rate`` for unlisted groups).
-    The rate map becomes a literal in-expression map — map-side only."""
+    The rate map becomes a literal in-expression map — map-side only.
+
+    Downsample-only: a rate above 1 cannot be expressed as a keep-
+    predicate and raises (use :func:`mixture_upsample` for 3x-style
+    upweighting) rather than silently clamping to keep-all."""
+    _reject_upsample_rates(rates, default_rate, "mixture_sample")
     entries: list[F.Column] = []
     for group in sorted(rates):
         entries.append(F.lit(group))
@@ -109,8 +187,13 @@ def temperature_rates(
     feeds ``mixture_sample``'s literal rate map, keeping the sampling
     pass itself shuffle-free. One combining count shuffle total.
     """
-    if alpha < 0:
-        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not 0 <= alpha <= 1:
+        # alpha <= 1 guarantees every rate is <= 1 (exponent alpha-1 <= 0
+        # with n >= n_min), i.e. the output always feeds mixture_sample's
+        # downsample contract; alpha > 1 would upweight the HEAD, which
+        # inverts the recipe's purpose — reject rather than hand
+        # mixture_sample rates it must refuse.
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     counts = {
         r.g: r.n
         for r in docs.groupBy(F.col(group_col).alias("g"))

@@ -5,6 +5,8 @@ document fingerprinting. Built-in Column expressions where possible
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, functions as F
 
 from phphinder_spark.analysis.stopwords_en import STOPWORDS_EN
@@ -163,18 +165,37 @@ def _word_ngrams(col: str, n: int) -> F.Column:
 _MAX_BENCH_GRAM_ROWS = 5_000_000
 
 
-def _benchmark_gram_set(
-    benchmark: DataFrame, n: int, col: str
-) -> DataFrame:
-    """Distinct benchmark n-gram set, checkpoint-materialized exactly
-    once (the guard count is the materializing action), guarded against
-    corpus-sized inputs — the set is broadcast to every executor."""
-    bgrams = (
+class BenchmarkGrams:
+    """A pre-guarded benchmark n-gram artifact: the distinct gram set is
+    checkpoint-materialized and the broadcast-size guard is paid exactly
+    ONCE at construction (via :func:`prepare_benchmark_grams`), however
+    many decontamination calls reuse it afterwards. Pass this wherever
+    ``ngram_contamination`` / ``remove_contaminated_spans`` /
+    ``clean_corpus`` accept a ``benchmark`` — repeated calls (and the
+    composed pipeline's multi-leg plan) then skip the guard's count job
+    entirely."""
+
+    __slots__ = ("grams", "n", "col", "n_grams")
+
+    def __init__(self, grams: DataFrame, n: int, col: str, n_grams: int):
+        self.grams = grams
+        self.n = n
+        self.col = col
+        self.n_grams = n_grams
+
+
+def prepare_benchmark_grams(
+    benchmark: DataFrame, n: int = 8, col: str = "text"
+) -> BenchmarkGrams:
+    """Build the guarded, reusable :class:`BenchmarkGrams` artifact for
+    one benchmark frame (count-guarded against corpus-sized inputs — the
+    gram set is broadcast to every executor)."""
+    grams = (
         benchmark.select(F.explode(_word_ngrams(col, n)).alias("g"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_bgrams = bgrams.count()
+    n_bgrams = grams.count()
     if n_bgrams > _MAX_BENCH_GRAM_ROWS:
         raise ValueError(
             f"benchmark side has {n_bgrams} distinct {n}-grams, over "
@@ -184,12 +205,46 @@ def _benchmark_gram_set(
             "overlap use the dedup operators (minhash_lsh_pairs / "
             "jaccard_ngram_pairs), which shuffle instead of broadcasting"
         )
-    return bgrams
+    return BenchmarkGrams(grams, n, col, n_bgrams)
+
+
+# per-DataFrame-object memo of prepared gram sets, so repeated calls that
+# pass the SAME benchmark frame (the common interactive / composed-
+# pipeline shape) pay the guard count once. Weak-keyed: dropping the
+# benchmark frame releases the cached artifact. Distinct DataFrame objects
+# over identical data do NOT share (object identity is the only mid-
+# session-mutation-safe key) — use prepare_benchmark_grams for explicit
+# cross-frame reuse.
+_BENCH_GRAM_CACHE: "weakref.WeakKeyDictionary[DataFrame, dict]" = None  # type: ignore[assignment]
+
+
+def _benchmark_gram_set(
+    benchmark: "DataFrame | BenchmarkGrams", n: int, col: str
+) -> DataFrame:
+    """Resolve a benchmark argument to its guarded distinct-gram frame:
+    pass-through for a prepared artifact (with an n/col contract check),
+    memoized :func:`prepare_benchmark_grams` for a raw DataFrame."""
+    global _BENCH_GRAM_CACHE
+    if isinstance(benchmark, BenchmarkGrams):
+        if benchmark.n != n or benchmark.col != col:
+            raise ValueError(
+                f"BenchmarkGrams was prepared with n={benchmark.n}, "
+                f"col={benchmark.col!r} but the call asked for n={n}, "
+                f"col={col!r} — prepare a matching artifact"
+            )
+        return benchmark.grams
+    if _BENCH_GRAM_CACHE is None:
+        _BENCH_GRAM_CACHE = weakref.WeakKeyDictionary()
+    per_df = _BENCH_GRAM_CACHE.setdefault(benchmark, {})
+    key = (n, col)
+    if key not in per_df:
+        per_df[key] = prepare_benchmark_grams(benchmark, n, col)
+    return per_df[key].grams
 
 
 def ngram_contamination(
     df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | BenchmarkGrams,
     n: int = 8,
     col: str = "text",
     id_col: str = "doc_id",
@@ -213,7 +268,10 @@ def ngram_contamination(
     broadcast side is guarded: a benchmark whose distinct gram set exceeds
     ``_MAX_BENCH_GRAM_ROWS`` raises with guidance (that input is a
     corpus-vs-corpus comparison — use the dedup operators' shuffled
-    joins, not a broadcast probe)."""
+    joins, not a broadcast probe). The guard's count job is paid once
+    per benchmark ARTIFACT, not per call: pass a
+    :func:`prepare_benchmark_grams` result (or reuse the same benchmark
+    DataFrame object — gram sets are weak-memoized per object)."""
     grams = _word_ngrams(col, n)
     bgrams = _benchmark_gram_set(benchmark, n, bench_col or col)
     doc_grams = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
@@ -275,15 +333,21 @@ def duplicate_spans(
     spans = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
     if hash_spans:
         spans = spans.select("doc_id", F.xxhash64("g").alias("g"))
-    counts = spans.groupBy("g").agg(F.count("*").alias("c"))
+    # prune the join's right side to the HOT set before joining (at
+    # n=20 most spans are unique, so |hot| << |distinct spans| — the
+    # same prune remove_duplicate_spans ships); a span that survives the
+    # filter is duplicated by definition, so the per-doc rollup just
+    # counts matches on the left join
+    hot = (
+        spans.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
     per_doc = (
-        spans.join(counts, "g")
+        spans.join(hot, "g")
         .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_spans")
-        )
+        .agg(F.count("*").cast("long").alias("n_dup_spans"))
     )
     return (
         df.select(
@@ -384,7 +448,7 @@ def _cut_flagged_spans(
 
 def remove_contaminated_spans(
     df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | BenchmarkGrams,
     n: int = 8,
     col: str = "text",
     id_col: str = "doc_id",

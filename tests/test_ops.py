@@ -635,6 +635,48 @@ def test_dedup_paragraphs_partitioning_invariant(spark):
     assert sum(r[3] for r in got_a) == 7
 
 
+def test_dedup_paragraphs_hash_key_equivalence(spark):
+    """hash_key=True (xxhash64 longs in the shuffles, map-side rebuild
+    from the original text) must be row-identical to the string form,
+    including trim/empty-piece handling and the empty/whitespace docs."""
+    from phphinder_spark.ops.dedup import dedup_paragraphs
+
+    rows = [
+        (i, "\n".join(f"para {(i + j) % 11} body" for j in range(4)))
+        for i in range(60)
+    ] + [(100, ""), (101, "  \n \n"), (102, "solo\n\nsolo\nother")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    got_s = sorted(map(tuple, dedup_paragraphs(docs).collect()))
+    got_h = sorted(map(tuple, dedup_paragraphs(docs, hash_key=True).collect()))
+    assert got_s == got_h
+
+
+def test_dedup_paragraphs_hash_key_no_string_shuffle(spark):
+    """The hash form's exchanges carry xxhash64 longs + ids/positions;
+    no paragraph string column may appear in any hashpartitioning key."""
+    from phphinder_spark.ops.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pview = docs.select(
+        "doc_id", F.regexp_replace("text", r"\bline\b", "\n").alias("text")
+    )
+    df = dedup_paragraphs(pview, hash_key=True)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    shuffles = _re.findall(r"hashpartitioning\((\w+)#\d+", plan)
+    # still exactly two shuffles (winner min + doc rollup), and the
+    # paragraph key is the hashed long (aliased 'para'), never text
+    assert sorted(set(shuffles)) == ["id", "para"]
+    assert len(shuffles) == 2
+    # the winner exchange's schema at the hash key must be bigint: the
+    # xxhash64 call sits in the plan, the raw split column does not
+    # reach an Exchange input projection above it
+    assert "xxhash64" in plan
+
+
 def test_word_vocabulary(spark):
     from phphinder_spark.ops.textstats import word_vocabulary
 

@@ -82,13 +82,28 @@ def test_pack_offsets_within_budget_and_streams_contiguously(docs):
 
 def test_pack_empty_and_zero_token_docs(spark):
     df = spark.createDataFrame(
-        [(1, "alpha beta"), (2, ""), (3, "gamma")], "doc_id long, text string"
+        [(1, "alpha beta"), (2, ""), (3, "gamma"), (4, None), (5, "delta")],
+        "doc_id long, text string",
     )
     got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset) for r in
            pack_sequences(df, 2).collect()}
-    # doc 2 is empty: zero tokens, attaches at the current stream position
-    assert got == {1: (2, 0, 0), 2: (0, 1, 0), 3: (1, 1, 0)}
+    # doc 2 is empty and doc 4 is NULL: both contribute ZERO tokens (not
+    # legacy size(NULL) = -1, which would shift every later doc's offset)
+    # and attach at the current stream position
+    assert got == {1: (2, 0, 0), 2: (0, 1, 0), 3: (1, 1, 0),
+                   4: (0, 1, 1), 5: (1, 1, 1)}
     assert pack_sequences(df.where("doc_id < 0"), 2).count() == 0
+
+
+def test_pack_null_precomputed_count(spark):
+    """A NULL in a precomputed token-count column is coalesced to 0
+    instead of crashing the Arrow cumsum (to_numpy('int64') on NaN)."""
+    df = spark.createDataFrame(
+        [(1, 3), (2, None), (3, 2)], "doc_id long, n_tok long"
+    )
+    got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset) for r in
+           pack_sequences(df, 4, tokens_col_name="n_tok").collect()}
+    assert got == {1: (3, 0, 0), 2: (0, 0, 3), 3: (2, 0, 3)}
 
 
 def test_pack_rejects_bad_budget(docs):
@@ -189,6 +204,71 @@ def test_mixture_sample_rates_and_default(docs):
         docs, {"en": 0.0}, group_col="lang", default_rate=1.0
     )
     assert m2.count() == docs.count() - n_en
+
+
+def test_mixture_sample_rejects_upsample_rates(docs):
+    """Rates above 1 used to silently clamp to keep-all; a keep-predicate
+    cannot upweight, so the op now refuses and points at
+    mixture_upsample."""
+    with pytest.raises(ValueError, match="mixture_upsample"):
+        mixture_sample(docs, {"en": 3.0}, group_col="lang")
+    with pytest.raises(ValueError, match="downsample-only"):
+        mixture_sample(docs, {"en": 0.5}, group_col="lang", default_rate=1.5)
+
+
+def test_mixture_upsample_multiplicity_and_downsample_parity(docs):
+    from phphinder_spark.ops.sampling import mixture_upsample
+
+    rates = {"en": 2.0, "de": 0.3}
+    up = mixture_upsample(docs, rates, group_col="lang", default_rate=1.0)
+    rows = up.select("doc_id", "lang", "copy_id").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault((r.doc_id, r.lang), []).append(r.copy_id)
+    # integer rate 2.0: every en doc appears exactly twice, copy_id 0 and 1
+    n_en = docs.where("lang = 'en'").count()
+    en_docs = [k for k in by_doc if k[1] == "en"]
+    assert len(en_docs) == n_en
+    assert all(sorted(by_doc[k]) == [0, 1] for k in en_docs)
+    # fractional rate <= 1 degrades to mixture_sample's exact keep-set
+    kept_de = {k[0] for k in by_doc if k[1] == "de"}
+    expect_de = {
+        r.doc_id
+        for r in mixture_sample(
+            docs.where("lang = 'de'"), {"de": 0.3}, group_col="lang"
+        ).select("doc_id").collect()
+    }
+    assert kept_de == expect_de
+    assert all(by_doc[(d, "de")] == [0] for d in kept_de)
+    # unlisted groups follow default_rate=1.0: exactly one copy each
+    other = docs.where("lang NOT IN ('en', 'de')")
+    assert len([k for k in by_doc if k[1] not in ("en", "de")]) == other.count()
+
+
+def test_mixture_upsample_fractional_expected_multiplicity(spark):
+    from phphinder_spark.ops.sampling import mixture_upsample
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    up = mixture_upsample(df, {"en": 2.5}, group_col="lang")
+    total = up.count()
+    # every doc gets >= 2 copies; ~half get a 3rd -> total ~ 2.5n
+    assert 2 * n <= total <= 3 * n
+    assert abs(total - 2.5 * n) < 0.1 * n
+    # determinism: replay is row-identical
+    assert up.exceptAll(mixture_upsample(df, {"en": 2.5}, group_col="lang")).count() == 0
+
+
+def test_mixture_upsample_is_map_side_only(docs):
+    from phphinder_spark.ops.sampling import mixture_upsample
+
+    q = mixture_upsample(docs, {"en": 2.5}, group_col="lang")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan and "Join" not in plan
 
 
 def test_mixture_sample_agrees_with_per_group_deterministic(docs):
@@ -307,3 +387,7 @@ def test_temperature_rates_edges(spark):
     assert temperature_rates(empty) == {}
     with _pytest.raises(ValueError, match="alpha"):
         temperature_rates(docs, alpha=-0.1)
+    # alpha > 1 would emit rates > 1 (head upweighting), which
+    # mixture_sample must refuse — rejected at the source
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        temperature_rates(docs, alpha=1.5)

@@ -1,0 +1,233 @@
+"""Round-7 punch-list pins (VERDICT r6 + ADVICE r6):
+
+1. the benchmark-gram guard count is paid once per benchmark ARTIFACT —
+   repeated decontamination calls over the same frame (and prepared
+   BenchmarkGrams artifacts) skip the count job;
+2. BenchmarkGrams carries an n/col contract that mismatched calls trip;
+3. KVStorage's oversized-batch guard fails fast BEFORE the postings
+   frame materializes (lazy checkpoint + bounded limit-probe);
+4. connected_components evaluates the upstream pairs DAG exactly once
+   (the self-loop probe reads the checkpointed symmetrized frame);
+5. duplicate_spans' hot-set prune keeps the flag output identical.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _jobs_for(spark, fn) -> int:
+    sc = spark.sparkContext
+    group = f"r7jobs-{next(_jobs_for._seq)}"
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+_jobs_for._seq = itertools.count()
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, f"alpha beta gamma delta number{i} epsilon zeta eta theta")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------ benchmark-gram guard caching
+
+
+def test_bench_gram_guard_counts_once_per_frame(spark, docs):
+    """Two ngram_contamination calls over the SAME benchmark DataFrame
+    object: the second must launch strictly fewer jobs than the first
+    (the guard's distinct-gram count job ran only once)."""
+    from phphinder_spark.ops.textstats import ngram_contamination
+
+    bench = docs.where("doc_id % 7 = 0")
+
+    def run():
+        ngram_contamination(docs, bench, n=3).count()
+
+    first = _jobs_for(spark, run)
+    second = _jobs_for(spark, run)
+    assert second < first
+
+
+def test_prepared_benchmark_grams_reuse_and_contract(spark, docs):
+    from phphinder_spark.ops.textstats import (
+        ngram_contamination,
+        prepare_benchmark_grams,
+        remove_contaminated_spans,
+    )
+
+    bench = docs.where("doc_id % 7 = 0")
+    art = prepare_benchmark_grams(bench, n=3)
+    assert art.n == 3 and art.n_grams > 0
+
+    # artifact result == raw-frame result, for both consumers
+    via_art = sorted(
+        map(tuple, ngram_contamination(docs, art, n=3).collect())
+    )
+    via_df = sorted(
+        map(tuple, ngram_contamination(docs, bench, n=3).collect())
+    )
+    assert via_art == via_df
+    cut_art = sorted(
+        map(tuple, remove_contaminated_spans(docs, art, n=3).collect())
+    )
+    cut_df = sorted(
+        map(tuple, remove_contaminated_spans(docs, bench, n=3).collect())
+    )
+    assert cut_art == cut_df
+
+    # the artifact path launches no guard count job beyond the query's own
+    def run_art():
+        ngram_contamination(docs, art, n=3).count()
+
+    def run_fresh():
+        # a FRESH benchmark object pays the guard once
+        fresh = docs.where("doc_id % 7 = 0")
+        ngram_contamination(docs, fresh, n=3).count()
+
+    assert _jobs_for(spark, run_art) < _jobs_for(spark, run_fresh)
+
+    # n/col contract: a mismatched call must not silently probe with the
+    # wrong gram length
+    with pytest.raises(ValueError, match="prepared with n=3"):
+        ngram_contamination(docs, art, n=8)
+
+
+def test_guard_still_trips_on_oversized_benchmark(spark, docs, monkeypatch):
+    import phphinder_spark.ops.textstats as ts
+
+    monkeypatch.setattr(ts, "_MAX_BENCH_GRAM_ROWS", 2)
+    with pytest.raises(ValueError, match="corpus-vs-corpus"):
+        ts.prepare_benchmark_grams(docs, n=3)
+
+
+# ------------------------------------------ KV commit guard fail-fast
+
+
+def test_kv_guard_trips_before_postings_materialize(spark, tmp_path, monkeypatch):
+    """The postings-side cap must trip WITHOUT evaluating every postings
+    partition: a poisoned partition past the probe's budget never runs."""
+    from phphinder_spark.index.storage import KVStorage
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+
+    def poison(it):
+        for pdf in it:
+            if len(pdf) and int(pdf["doc_id"].iloc[0]) >= 10_000:
+                raise RuntimeError("poisoned tail partition was evaluated")
+            yield pdf
+
+    big = (
+        spark.range(0, 20_000, 1, 64)
+        .select(
+            F.lit("text").alias("field"),
+            F.concat(F.lit("t"), F.col("id")).alias("term"),
+            F.col("id").alias("doc_id"),
+            F.lit(1).cast("long").alias("tf"),
+            F.array().cast("array<int>").alias("positions"),
+        )
+        .mapInPandas(
+            poison,
+            "field string, term string, doc_id long, tf long, positions array<int>",
+        )
+    )
+    store = KVStorage(spark, str(tmp_path / "kv7"))
+    monkeypatch.setattr(KVStorage, "_MAX_COMMIT_ROWS", 100)
+    # the guard must raise the size error, not the poison (which would
+    # prove full materialization happened before the check)
+    with pytest.raises(ValueError, match="ParquetSnapshotStorage"):
+        store.commit(docs, big, [])
+
+
+# ------------------------------------------ CC single-evaluation contract
+
+
+def test_cc_evaluates_pairs_dag_once(spark):
+    """The pairs plan runs exactly once: a counting accumulator inside
+    the pairs DAG must show each input row touched once, self-loops
+    included in the probe."""
+    from phphinder_spark.ops.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (9, 9)], "a_id long, b_id long"
+    ).mapInPandas(tick, "a_id long, b_id long")
+    out = {r["id"]: r["cluster_id"]
+           for r in connected_components(base).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+    assert acc.value == 4
+
+
+def test_cc_no_self_pairs_still_single_pass(spark):
+    from phphinder_spark.ops.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(1, 2), (3, 4)], "a_id long, b_id long"
+    ).mapInPandas(tick, "a_id long, b_id long")
+    out = {r["id"]: r["cluster_id"]
+           for r in connected_components(base).collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3}
+    assert acc.value == 2
+
+
+# ------------------------------------------ duplicate_spans hot prune
+
+
+def test_duplicate_spans_hot_prune_same_flags(spark):
+    """The pruned-join rewrite must emit the identical per-doc flags as
+    the definitional form (join against unpruned counts, flag-sum)."""
+    from phphinder_spark.ops.textstats import _word_ngrams, duplicate_spans
+
+    rows = [
+        (1, "one two three four five six seven"),
+        (2, "one two three four nine ten eleven"),
+        (3, "totally different words here entirely now yes"),
+        (4, None),
+        (5, "one two three four five six seven"),  # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_ratio, r.has_dup)
+           for r in duplicate_spans(docs, n=4, min_count=2).collect()}
+
+    # definitional replay: unpruned counts + flag sum
+    grams = _word_ngrams("text", 4)
+    spans = docs.select("doc_id", F.explode(grams).alias("g"))
+    counts = spans.groupBy("g").agg(F.count("*").alias("c"))
+    ref_dup = {
+        r.doc_id: r.n
+        for r in spans.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n"))
+        .collect()
+    }
+    for doc_id, (n_spans, n_dup, _, has_dup) in got.items():
+        assert n_dup == ref_dup.get(doc_id, 0)
+        assert has_dup == (n_dup > 0)
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[4] == (0, 0, 0.0, False)

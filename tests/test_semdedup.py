@@ -88,6 +88,83 @@ def test_id_contract_and_threshold_monotonicity(spark, embeddings):
     assert pruned_by_t[0.9] <= pruned_by_t[0.5] <= pruned_by_t[0.3]
 
 
+def test_max_cell_subblocking_on_planted_giant_cell(spark):
+    """A 10x-median giant cell must not be compared all-pairs under
+    max_cell: identical duplicate groups are still pruned exactly (same
+    verdicts as the exact path — duplicates share every SRP bucket), and
+    the candidate-pair count inside the giant cell drops from |cell|^2/2
+    to the SRP-bucketed total."""
+    import random
+
+    from phphinder_spark.ops.similarity import (
+        rademacher_planes,
+        srp_bucket_col,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+
+    def _unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # ONE centroid -> every vector lands in cell 0 by construction: a
+    # guaranteed giant cell of 30 near-orthogonal random bases (pairwise
+    # cosine ~N(0, 1/4), far below threshold), each duplicated 4x
+    c0 = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    vid = 0
+    for _ in range(30):
+        base = _unit()
+        for _ in range(4):
+            rows.append((vid, list(base)))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, c0)]
+
+    exact = {r["vec_id"]: r["kept"]
+             for r in semantic_dedup(emb, cents, 0.999).collect()}
+    sub = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(emb, cents, 0.999, max_cell=20).collect()}
+    # identical-vector groups collide in every SRP table -> same verdicts
+    assert sub == exact
+    # exactly one of each 4-dup group survives in the giant cell
+    assert sum(1 for k in sub.values() if k) == 30
+
+    # quadratic-domination check: bucketed candidate pairs << all-pairs
+    planes = rademacher_planes(dim, 8, 6, 42)
+    norm = similarity._normalized("embedding")
+    buckets = emb.where(F.col("vec_id") < 120).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[srp_bucket_col(norm, planes[t]) for t in range(6)])
+        ).alias("tbl", "bkt"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["tbl", "bkt"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = 120 * 119 // 2
+    assert cand < all_pairs / 4
+
+
+def test_max_cell_validation_and_noop_when_small(arc_emb):
+    with pytest.raises(ValueError, match="max_cell"):
+        semantic_dedup(arc_emb, CENTS, 0.95, max_cell=1)
+    # every cell under budget: identical result to the exact default
+    t = round(math.cos(0.25), 6)
+    key = lambda rows: sorted(
+        (r["vec_id"], r["cid"], r["cent_sim"], r["kept"]) for r in rows
+    )
+    assert key(semantic_dedup(arc_emb, CENTS, t, max_cell=50).collect()) == \
+        key(semantic_dedup(arc_emb, CENTS, t).collect())
+
+
 def test_assignment_paths_agree(arc_emb, monkeypatch):
     lit = semantic_dedup(arc_emb, CENTS, 0.95).collect()
     monkeypatch.setattr(similarity, "_IVF_LITERAL_MAX_CENTROIDS", 0)
