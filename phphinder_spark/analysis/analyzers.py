@@ -75,6 +75,45 @@ class SymbolTransformer(_Filtered):
         return _SYMBOL.sub("", term)
 
 
+# ISO code -> PyStemmer algorithm name, for languages WITHOUT a pinned
+# pure-Python port above (PyStemmer names follow snowballstem.org)
+_PYSTEMMER_LANGS = {
+    "ar": "arabic",
+    "eu": "basque",
+    "ca": "catalan",
+    "el": "greek",
+    "fi": "finnish",
+    "ga": "irish",
+    "hi": "hindi",
+    "hu": "hungarian",
+    "id": "indonesian",
+    "lt": "lithuanian",
+    "ne": "nepali",
+    "ro": "romanian",
+    "sr": "serbian",
+    "ta": "tamil",
+    "tr": "turkish",
+}
+
+
+def _pystemmer_fn(lang_iso: str):
+    """Upstream-certified stem callable via the optional PyStemmer C
+    extension, or None when the language/extension is unavailable. A
+    fresh ``Stemmer`` instance per closure: the C object is NOT
+    thread-safe, and these callables run inside Arrow batch workers."""
+    algo = _PYSTEMMER_LANGS.get(lang_iso)
+    if algo is None:
+        return None
+    try:
+        import Stemmer  # PyStemmer, optional
+    except ImportError:
+        return None
+    if algo not in Stemmer.algorithms():
+        return None
+    st = Stemmer.Stemmer(algo)
+    return st.stemWord
+
+
 class StemmerTransformer(_Filtered):
     """Snowball stemmer by ISO language code (reference stems any Snowball
     language via wamania/php-stemmer, src/Transformer/StemmerTransformer.php:30-39;
@@ -122,10 +161,21 @@ class StemmerTransformer(_Filtered):
 
             self._stem = stem_ru
         else:
-            raise NotImplementedError(
-                "Snowball stemmers implemented: en, de, es, fr, pt, it, nl, "
-                f"da, no, sv, ru (got {lang_iso!r})"
-            )
+            # optional backend for the remaining Snowball languages:
+            # PyStemmer (the snowballstem.org project's own C wrapper)
+            # carries upstream-certified outputs for every published
+            # algorithm, so environments that ship it get ro/fi/hu/tr/...
+            # without a from-memory port (SURVEY §7.5: porting those
+            # without the official conformance vocabularies would be a
+            # silent-divergence risk). Import-guarded — absent, the
+            # documented raise stands.
+            self._stem = _pystemmer_fn(lang_iso)
+            if self._stem is None:
+                raise NotImplementedError(
+                    "Snowball stemmers implemented: en, de, es, fr, pt, it, "
+                    f"nl, da, no, sv, ru (got {lang_iso!r}); install "
+                    "PyStemmer for the remaining Snowball languages"
+                )
 
     def apply(self, term: str) -> str | None:
         if not self._allowed(term):

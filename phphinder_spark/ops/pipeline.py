@@ -25,6 +25,7 @@ from phphinder_spark.ops.textstats import (
     gopher_quality,
     ngram_contamination,
     pii_scrub,
+    remove_contaminated_spans,
 )
 
 
@@ -37,18 +38,36 @@ def clean_corpus(
     min_stop_hits: int = 2,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
+    decontam_mode: str = "drop",
 ) -> DataFrame:
     """(doc_id, cluster_id, scrubbed) for every KEPT document: quality
     passes the Gopher rules, text is PII-scrubbed, only the minimum id
     of each near-dup cluster survives, and (when ``benchmark`` is given)
-    no kept doc shares a word ``decontam_n``-gram with the benchmark —
-    the complete standard pre-training cleaning flow.
+    benchmark overlap is handled per ``decontam_mode`` — the complete
+    standard pre-training cleaning flow.
+
+    ``decontam_mode``:
+
+    - ``'drop'`` (default, the GPT-3 §C form): a kept doc sharing any
+      word ``decontam_n``-gram with the benchmark is dropped whole.
+    - ``'cut'`` (the surgical form): contaminated docs SURVIVE, but the
+      tokens covered by benchmark-overlapping spans are cut from their
+      ``scrubbed`` text (:func:`remove_contaminated_spans` over the
+      PII-scrubbed text — what would actually ship to training).
+      ``scrubbed`` is then token-normalized (space-joined surviving
+      tokens), matching that op's contract.
 
     Dedup runs over the FULL corpus (quality rejects must still suppress
     their near-duplicates' content — dropping them before pairing would
     let a low-quality twin's sibling through as "unique"). The quality,
     dedup, and decontamination verdicts then intersect on the keeper
-    set — each an id-keyed join on uniform doc ids."""
+    set — each an id-keyed join on uniform doc ids. In 'cut' mode the
+    keeper set is lazily checkpointed so the cut leg's two branches
+    read one materialization of the LSH/CC work."""
+    if decontam_mode not in ("drop", "cut"):
+        raise ValueError(
+            f"decontam_mode must be 'drop' or 'cut', got {decontam_mode!r}"
+        )
     pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=jaccard_threshold)
     clusters = dedup_clusters(df, pairs, id_col)
     quality = gopher_quality(
@@ -60,13 +79,23 @@ def clean_corpus(
         .join(scrub.select("doc_id", "scrubbed"), "doc_id")
         .where(~F.col("is_dup") & F.col("gopher_pass"))
     )
-    if benchmark is not None:
+    if benchmark is not None and decontam_mode == "drop":
         decon = ngram_contamination(
             df, benchmark, n=decontam_n, col=text_col, id_col=id_col
         )
         out = out.join(
             decon.select("doc_id", "contaminated"), "doc_id"
         ).where(~F.col("contaminated"))
+    elif benchmark is not None:
+        kept = out.select("doc_id", "cluster_id", "scrubbed").localCheckpoint(
+            eager=False
+        )
+        cut = remove_contaminated_spans(
+            kept, benchmark, n=decontam_n, col="scrubbed", bench_col=text_col
+        )
+        return kept.drop("scrubbed").join(
+            cut.select("doc_id", F.col("cleaned").alias("scrubbed")), "doc_id"
+        ).select("doc_id", "cluster_id", "scrubbed")
     return out.select("doc_id", "cluster_id", "scrubbed")
 
 

@@ -196,6 +196,52 @@ def test_cc_no_self_pairs_still_single_pass(spark):
     assert acc.value == 2
 
 
+# ------------------------------------------ pipeline surgical decontam
+
+
+def test_clean_corpus_cut_mode(spark):
+    """decontam_mode='cut': the keeper set is drop-mode's set WITHOUT the
+    contamination drop (dedup + quality only), and contaminated keepers
+    survive with benchmark-overlapping spans cut from their scrubbed
+    text; clean docs keep their full (token-normalized) text."""
+    from phphinder_spark.ops.pipeline import clean_corpus
+    from phphinder_spark.ops.textstats import remove_contaminated_spans
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "rests under a tree with calm easy grace for hours")
+    rows = [
+        (1, base + " unique tail one"),
+        (2, base + " unique tail two secret bench marker phrase here yes"),
+        (3, "completely different words compose this document about the "
+            "weather and other mundane topics of the day indeed truly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(99, "secret bench marker phrase")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.scrubbed for r in clean_corpus(
+        docs, min_words=5, min_stop_hits=1, jaccard_threshold=0.9,
+        benchmark=bench, decontam_n=3, decontam_mode="cut",
+    ).collect()}
+    drop = {r.doc_id for r in clean_corpus(
+        docs, min_words=5, min_stop_hits=1, jaccard_threshold=0.9,
+        benchmark=bench, decontam_n=3, decontam_mode="drop",
+    ).collect()}
+    # doc 2 is contaminated: dropped by drop-mode, KEPT (cut) by cut-mode
+    assert 2 in got and 2 not in drop
+    assert "secret" not in got[2] and "marker" not in got[2]
+    assert got[2].startswith("the quick brown fox")
+    # clean docs keep every token (token-normalized join)
+    assert got[3].startswith("completely different words")
+    # cut text matches the op applied directly to the scrubbed text
+    direct = {r.doc_id: r.cleaned for r in remove_contaminated_spans(
+        docs, bench, n=3).collect()}
+    assert got[2] == direct[2]
+
+    with pytest.raises(ValueError, match="decontam_mode"):
+        clean_corpus(docs, benchmark=bench, decontam_mode="purge")
+
+
 # ------------------------------------------ duplicate_spans hot prune
 
 

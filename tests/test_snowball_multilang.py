@@ -276,6 +276,39 @@ def test_stemmer_transformer_dispatch():
         StemmerTransformer("xx")
 
 
+def _have_pystemmer() -> bool:
+    try:
+        import Stemmer  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_unported_language_raise_names_the_optional_backend():
+    """Without PyStemmer, ro/fi/... raise the documented error, and the
+    message points at the optional backend."""
+    if _have_pystemmer():
+        pytest.skip("PyStemmer installed: ro resolves instead of raising")
+    with pytest.raises(NotImplementedError, match="PyStemmer"):
+        StemmerTransformer("ro")
+
+
+@pytest.mark.skipif(
+    not _have_pystemmer(), reason="optional PyStemmer backend not installed"
+)
+def test_pystemmer_backend_languages():
+    """With PyStemmer present, the unported Snowball languages stem with
+    the upstream-certified implementation (spot vectors from the official
+    snowballstem.org sample vocabularies)."""
+    assert StemmerTransformer("ro").apply("românului") == "român"
+    assert StemmerTransformer("fi").apply("kaloja") == "kaloj"
+    assert StemmerTransformer("tr").apply("kediler") == "kedi"
+    # the ported languages must NOT silently reroute to the C backend
+    # (the pinned pure-Python ports stay authoritative)
+    assert StemmerTransformer("de").apply("katzen") == "katz"
+
+
 _CHAIN_SAMPLES = {
     "da": ("en hund og to katte i huses", "hus", "og"),
     "no": ("en katt og mulighetene", "mul", "og"),
