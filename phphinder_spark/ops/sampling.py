@@ -207,3 +207,90 @@ def temperature_rates(
         g: round((n / n_min) ** (alpha - 1.0), round_to)
         for g, n in counts.items()
     }
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "phphinder",
+    margin: int = 4,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACTLY ``min(k, |group|)`` rows per group — the balanced-eval /
+    per-domain-audit selection ("give me 1000 docs per language"),
+    deterministic: the kept rows are the k SMALLEST
+    ``sha256(salt | key)`` prefixes of each group (ties by key), so the
+    result is a pure function of (salt, keys) — partitioning-, retry-,
+    and engine-invariant, exactly replayable as a SQL row_number. Rows
+    with a NULL group are excluded. Output = input columns + ``rank``
+    (1-based within group).
+
+    Scale: a naive per-group window sorts EVERY row of every group in
+    one task per group — a 100-TB head group is non-executable. This is
+    the two-phase exact form instead:
+
+    1. group sizes: one tiny combining count;
+    2. map-side PREFILTER: per-group hash threshold with ``margin``x
+       expected survivors (literal map Column, zero shuffle) — the
+       corpus pass is a narrow filter;
+    3. verify survivor counts (tiny agg); any group that undershot
+       min(k, n_g) — P(Binomial(n_g, margin*k/n_g) < k), vanishing for
+       margin >= 4 — gets its threshold widened 8x and re-verified
+       (driver loop over tiny aggregates, ``max_rounds`` bound; the
+       final answer is the exact hash-top-k REGARDLESS of thresholds);
+    4. the window runs on the O(margin * k * n_groups) survivor frame
+       only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    sizes = {
+        r["g"]: r["n"]
+        for r in df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not sizes:
+        return df.withColumn("rank", F.lit(0).cast("long")).limit(0)
+    fracs = {g: min(1.0, margin * k / n) for g, n in sizes.items()}
+    need = {g: min(k, n) for g, n in sizes.items()}
+    prefix = _hash_prefix(key_col, salt)
+
+    def survivors_for(fr: dict[str, float]) -> DataFrame:
+        entries: list[F.Column] = []
+        for g in sorted(fr):
+            entries.append(F.lit(g))
+            entries.append(F.lit(threshold_hex(fr[g])))
+        thr = F.coalesce(
+            F.create_map(*entries)[F.col(group_col).cast("string")], F.lit("")
+        )
+        return df.where(prefix < thr)
+
+    for _ in range(max_rounds):
+        surv = survivors_for(fracs).localCheckpoint(eager=False)
+        got = {
+            r["g"]: r["n"]
+            for r in surv.groupBy(
+                F.col(group_col).cast("string").alias("g")
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        under = [g for g, n in need.items() if got.get(g, 0) < n]
+        if not under:
+            break
+        for g in under:
+            fracs[g] = min(1.0, fracs[g] * 8)
+    else:
+        raise RuntimeError(
+            f"stratified_sample did not cover every group in {max_rounds} "
+            "threshold-widening rounds (should be impossible: fractions "
+            "reach 1.0 within a few x8 steps)"
+        )
+    w = Window.partitionBy(group_col).orderBy(prefix, F.col(key_col))
+    return (
+        surv.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+    )

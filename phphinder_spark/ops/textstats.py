@@ -687,3 +687,116 @@ def word_vocabulary(
             F.col("count").desc(), F.col("token")
         ).limit(int(k))
     return counts
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest-TF-IDF tokens
+    of each doc — the standard cheap summarizer/labeler for corpus
+    exploration, topic routing, and near-dup triage at pipeline scale.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1) (the smoothed idf of
+    scikit-learn's TfidfTransformer, so no term gets a zero/negative
+    weight), rounded to 6 dp; ranking is (score desc, token asc) — a
+    total order, so the selected set is deterministic, partitioning-
+    invariant, and exactly replayable in ANSI SQL. Returns
+    (doc_id, token, tf, df, score, rank) with rank 1..k per doc (docs
+    with fewer distinct tokens return what they have; NULL/empty docs
+    return nothing).
+
+    Scale: tf is one (doc, token)-keyed combining count over the token
+    explode; df is one token-keyed combining count over the tf frame
+    (distinct (doc, token) pairs are already unique, so df = plain
+    count); the tf-df join shuffles on the token key — a Zipf-hot token
+    is an AQE-splittable skewed join key, and the join's right side is
+    vocabulary-sized, never corpus-sized. The per-doc top-k is a
+    doc-keyed window over rows bounded by distinct-tokens-per-doc —
+    bounded docs keep every window task bounded (same contract as the
+    doc rollups in duplicate_spans)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    n_docs = df.where(F.col(col).isNotNull()).count()
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens_col(col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    scored = tf.join(dfreq, "token").select(
+        "doc_id", "token", "tf", "df",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int | None = None,
+    min_count: int = 1,
+    col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Adjacent-symbol pair counts over the corpus — the inner-loop
+    statistic of BPE tokenizer training (Sennrich et al. 2016: the pair
+    with the highest count becomes the next merge). This computes the
+    FIRST iteration's counts from characters (each word = its character
+    sequence plus a word-end marker), weighted by word frequency; a
+    trainer would merge the argmax and re-count.
+
+    Returns (a, b, count): symbol pair -> total occurrences across the
+    corpus, optionally pruned to count >= ``min_count`` and/or the top
+    ``k`` pairs ((count desc, a asc, b asc) total order).
+
+    Scale: word counts first (ONE token-keyed combining shuffle — the
+    Zipf head pre-reduces map-side), then pairs explode over the
+    DISTINCT-word frame (vocabulary-sized, orders of magnitude smaller
+    than the corpus) weighted by the word count, then one pair-keyed
+    combining sum. The corpus is touched exactly once, map-side; top-k
+    is TakeOrderedAndProject, never a global sort."""
+    words = (
+        df.select(F.explode(tokens_col(col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    # symbols = characters + end marker; adjacent pairs via slice
+    syms = F.concat(F.split(F.col("w"), ""), F.array(F.lit(end_marker)))
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    counts = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").alias("count"))
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("count") >= int(min_count))
+    if k is not None:
+        counts = counts.orderBy(
+            F.col("count").desc(), F.col("a"), F.col("b")
+        ).limit(int(k))
+    return counts

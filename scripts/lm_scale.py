@@ -140,6 +140,15 @@ def main():
     out["dedup_paragraphs_sec_c32"] = round(time.time() - t, 2)
     out["paragraph_instances"] = int(agg.np)
     out["paragraphs_kept"] = int(agg.nk)
+
+    # hash_key=True — the 100-TB form (xxhash64 longs in the shuffles,
+    # map-side rebuild); aggregate must agree with the string form
+    t = time.time()
+    agg_h = dedup_paragraphs(docs, hash_key=True).agg(
+        F.sum("n_paragraphs").alias("np"), F.sum("n_kept").alias("nk")
+    ).collect()[0]
+    out["dedup_paragraphs_hash_sec_c32"] = round(time.time() - t, 2)
+    assert (int(agg_h.np), int(agg_h.nk)) == (int(agg.np), int(agg.nk))
     spark.stop()
 
     # second parallelism level for the scaling line

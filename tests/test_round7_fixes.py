@@ -277,3 +277,96 @@ def test_duplicate_spans_hot_prune_same_flags(spark):
         assert has_dup == (n_dup > 0)
     assert set(got) == {1, 2, 3, 4, 5}
     assert got[4] == (0, 0, 0.0, False)
+
+
+# ------------------------------------------ new ops: tfidf / bpe / strat
+
+
+def test_tfidf_keywords_hand_math(spark):
+    from phphinder_spark.ops.textstats import tfidf_keywords
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry"),
+            (3, "durian durian durian apple"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2)
+    rows = {(r.doc_id, r.rank): (r.token, r.tf, r.df, r.score)
+            for r in out.collect()}
+    n = 3  # NULL doc excluded from N
+    def s(tf, df):
+        return round(tf * (math.log((n + 1) / (df + 1)) + 1), 6)
+    # doc 1: apple tf2 df2 -> 2*(ln(4/3)+1); banana tf1 df2; cherry tf1 df2
+    assert rows[(1, 1)] == ("apple", 2, 2, s(2, 2))
+    # banana/cherry tie on score -> token asc
+    assert rows[(1, 2)][0] == "banana"
+    # doc 3: durian tf3 df1 beats apple
+    assert rows[(3, 1)] == ("durian", 3, 1, s(3, 1))
+    assert rows[(3, 2)][0] == "apple"
+    # k bound respected; NULL doc contributes nothing
+    assert {d for d, _ in rows} == {1, 2, 3}
+    assert max(r for _, r in rows) == 2
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_keywords(docs, k=0)
+
+
+def test_bpe_pair_counts_hand_math(spark):
+    from phphinder_spark.ops.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    got = {(r.a, r.b): r["count"] for r in bpe_pair_counts(docs).collect()}
+    assert got == {
+        ("l", "o"): 3, ("o", "w"): 3, ("w", "</w>"): 2,
+        ("w", "e"): 1, ("e", "r"): 1, ("r", "</w>"): 1,
+    }
+    top = bpe_pair_counts(docs, k=2).collect()
+    # count desc, then (a, b) asc: (l,o) before (o,w)
+    assert [(r.a, r.b, r["count"]) for r in top] == [
+        ("l", "o", 3), ("o", "w", 3)
+    ]
+    assert {(r.a, r.b) for r in
+            bpe_pair_counts(docs, min_count=2).collect()} == {
+        ("l", "o"), ("o", "w"), ("w", "</w>")
+    }
+
+
+def test_stratified_sample_exact_k_and_brute_force_parity(spark):
+    from phphinder_spark.ops.sampling import _hash_prefix, stratified_sample
+    from pyspark.sql import Window
+
+    rows = [(i, ["en", "de", "fr"][i % 3] if i % 17 else None)
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    for margin in (4, 1):  # margin=1 exercises the widening loop
+        out = stratified_sample(docs, 10, margin=margin)
+        got = {(r.doc_id, r.lang, r.rank) for r in out.collect()}
+        w = Window.partitionBy("lang").orderBy(
+            _hash_prefix("doc_id", "phphinder"), F.col("doc_id")
+        )
+        brute = {
+            (r.doc_id, r.lang, r.rank)
+            for r in docs.where(F.col("lang").isNotNull())
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where("rank <= 10").collect()
+        }
+        assert got == brute
+        per_group = {}
+        for _, g, _rk in got:
+            per_group[g] = per_group.get(g, 0) + 1
+        assert per_group == {"en": 10, "de": 10, "fr": 10}
+    # small groups return everything they have
+    tiny = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], "doc_id long, lang string"
+    )
+    out = stratified_sample(tiny, 10)
+    assert out.count() == 3
+    assert {r.rank for r in out.where("lang = 'en'").collect()} == {1, 2}
+    with pytest.raises(ValueError, match="k must be"):
+        stratified_sample(tiny, 0)
