@@ -511,6 +511,21 @@ def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir))
 
 
+def _q_dedup_against(spark, sf_dir):
+    """Cross-corpus (incremental-crawl) dedup: the doc_id % 3 != 0 slice
+    is the NEW data, % 3 == 0 the existing REFERENCE corpus — exact
+    sha256 matches + LSH-banded candidates verified at Jaccard >= 0.6,
+    compared strictly ACROSS the split (ops/dedup.dedup_against)."""
+    from phphinder_spark.ops.dedup import dedup_against
+
+    docs = _documents(spark, sf_dir)
+    return dedup_against(
+        docs.where("doc_id % 3 != 0"),
+        docs.where("doc_id % 3 = 0"),
+        threshold=0.6,
+    )
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """CCNet paragraph-level dedup (ops/dedup.py::dedup_paragraphs):
     keep the first corpus-wide occurrence of every paragraph, rebuild
@@ -873,13 +888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords": _q_tfidf_keywords,
         "text_bpe_pairs": _q_bpe_pairs,
         "sample_stratified": _q_stratified_sample,
+        "dedup_against": _q_dedup_against,
         # --- previously-certified core (r6-green)
         "search_term": _q_term,
         "search_and": _q_and,
         "search_not": _q_not,
         "search_prefix": _q_prefix,
         "search_phrase": _q_phrase,
-        "search_field": _q_field,
         "search_typo": _q_typo,
         "bm25_topk": _q_bm25,
         "bm25_topk_blockmax": _q_bm25_blockmax,
@@ -913,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batched": _q_bm25_batched,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "ann_ivf": _q_ann_ivf,
+        "search_field": _q_field,
         "search_and_weights": _q_and_weights,
         "search_or_weights": _q_or_weights,
         "search_phrase_positional": _q_phrase_positional,
@@ -1109,6 +1125,55 @@ SELECT a_id, b_id,
 FROM cand JOIN sig sa ON sa.id = a_id JOIN sig sb ON sb.id = b_id
 WHERE round(len(list_intersect(sa.sh, sb.sh))
             / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) >= 0.6
+""".format(toks=_TOKS, h31=H31.format(x="s"), mins=mins)
+
+    # cross-corpus dedup: NEW (doc_id % 3 != 0) vs REFERENCE (% 3 = 0) —
+    # same signature/band construction as `minhash`, candidates joined
+    # ACROSS the split only; exact leg = sha256(text) match; best match
+    # per NEW doc by (jaccard desc, ref id asc)
+    dedup_against_sql = """
+WITH base AS (
+  SELECT doc_id AS id, text,
+         list_distinct(list_transform(range(1, greatest(len({toks})-2, 1)+1),
+           i -> array_to_string(list_slice({toks}, i, i+2), ' '))) AS sh
+  FROM documents
+), hv AS (
+  SELECT id, text, sh, list_transform(sh, s -> {h31}) AS hs FROM base
+), sig AS (
+  SELECT id, text, sh, [{mins}] AS sig FROM hv
+), bands AS (
+  SELECT id, b AS band, array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS key
+  FROM sig, range(0, 16) t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM bands a JOIN bands b USING (band, key)
+  WHERE a.id % 3 != 0 AND b.id % 3 = 0
+), near AS (
+  SELECT a_id, b_id,
+         round(len(list_intersect(sa.sh, sb.sh))
+               / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+  FROM cand JOIN sig sa ON sa.id = a_id JOIN sig sb ON sb.id = b_id
+  WHERE round(len(list_intersect(sa.sh, sb.sh))
+              / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) >= 0.6
+), best AS (
+  SELECT a_id, b_id AS best_ref_id, jaccard AS best_jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY a_id
+      ORDER BY jaccard DESC, b_id ASC) AS rn FROM near
+  ) WHERE rn = 1
+), exact AS (
+  SELECT DISTINCT n.id FROM sig n JOIN sig r
+    ON sha256(n.text) = sha256(r.text)
+  WHERE n.id % 3 != 0 AND r.id % 3 = 0
+)
+SELECT d.doc_id,
+       (e.id IS NOT NULL) AS is_exact_dup,
+       CAST(coalesce(b.best_ref_id, -1) AS BIGINT) AS best_ref_id,
+       coalesce(b.best_jaccard, 0.0) AS best_jaccard,
+       (e.id IS NOT NULL OR b.best_jaccard IS NOT NULL) AS is_dup
+FROM documents d
+LEFT JOIN exact e ON d.doc_id = e.id
+LEFT JOIN best b ON d.doc_id = b.a_id
+WHERE d.doc_id % 3 != 0
 """.format(toks=_TOKS, h31=H31.format(x="s"), mins=mins)
 
     simhash = """
@@ -1582,6 +1647,7 @@ SELECT doc_id, score FROM (
         "dedup_semantic": dedup_semantic,
         "dedup_embedding_srp": emb_srp,
         "dedup_minhash": minhash,
+        "dedup_against": dedup_against_sql,
         "dedup_clusters": clusters,
         # identical closure: cluster_id is algorithm-independent
         "dedup_clusters_star": clusters,

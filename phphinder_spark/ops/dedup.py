@@ -250,6 +250,124 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    ref_id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """CROSS-corpus dedup — the incremental-crawl hygiene pass: flag
+    every NEW doc (``df``) that duplicates some doc of an EXISTING
+    ``reference`` corpus (the current training set), so fresh data can
+    be admitted without re-deduplicating the whole archive.
+
+    A doc is flagged when its text hashes equal to a reference doc's
+    (``is_exact_dup``) or when an LSH-banded candidate verifies at exact
+    shingle-Jaccard >= ``threshold`` (same signatures/banding contract
+    as :func:`minhash_lsh_pairs`, same recall curve). Returns ONE row
+    per ``df`` doc: (doc_id, is_exact_dup, best_ref_id, best_jaccard,
+    is_dup) — ``best_ref_id`` is the highest-Jaccard reference match
+    (ties to the lowest reference id); docs with no near match carry
+    the sentinels ``best_ref_id = -1`` / ``best_jaccard = 0.0`` rather
+    than NULLs (a nullable int column canonicalizes to float64 through
+    Arrow/pandas, which breaks cross-engine value comparison).
+
+    Scale: both sides compute signatures map-side; the band join runs
+    NEW x REFERENCE only (never within either corpus — a fresh crawl
+    against a 100-TB archive compares |new| x collision rate, not
+    archive²); the exact leg joins on sha256 of the text (uniform key);
+    the best-match rollup is a doc-keyed combining max. Reference
+    signatures are a pure function of (text, seed), so a real pipeline
+    persists them once and reuses them per increment — pass the same
+    seed and the banding replays."""
+    ref_ids = reference.select(F.col(ref_id_col).alias("rid"), F.col(col))
+    exact = (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(col), 256).alias("h"))
+        .join(
+            ref_ids.select(F.sha2(F.col(col), 256).alias("h")).distinct(),
+            "h",
+        )
+        .select("id")
+        .distinct()
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+    rows_per_band = num_perm // bands
+
+    def _banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col("id").alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+
+    new_sigs = minhash_signatures(df, col, id_col, num_perm, shingle_k, seed).cache()
+    ref_sigs = minhash_signatures(
+        reference, col, ref_id_col, num_perm, shingle_k, seed
+    ).cache()
+    cands = (
+        _banded(new_sigs, "a_id")
+        .join(_banded(ref_sigs, "b_id"), ["band", "key"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    near = (
+        cands.join(
+            new_sigs.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh")),
+            "a_id",
+        )
+        .join(
+            ref_sigs.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh")),
+            "b_id",
+        )
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .where(F.col("jaccard") >= threshold)
+        .groupBy(F.col("a_id").alias("id"))
+        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("b_id")).alias("nb"))).alias("w"))
+        .select(
+            "id",
+            (-F.col("w.nb")).alias("best_ref_id"),
+            F.col("w.jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(exact.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(near.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("best_ref_id", F.lit(-1).cast("long")).alias(
+                "best_ref_id"
+            ),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            (
+                F.coalesce("is_exact_dup", F.lit(False))
+                | F.col("best_jaccard").isNotNull()
+            ).alias("is_dup"),
+        )
+    )
+
+
 def simhash_chunk_widths(max_hamming: int, n_chunks: int | None = None) -> list[int]:
     """Bit widths of the pigeonhole chunks (default max_hamming + 2 for
     the two-chunk scheme), distributing 64 bits as evenly as possible

@@ -370,3 +370,85 @@ def test_stratified_sample_exact_k_and_brute_force_parity(spark):
     assert {r.rank for r in out.where("lang = 'en'").collect()} == {1, 2}
     with pytest.raises(ValueError, match="k must be"):
         stratified_sample(tiny, 0)
+
+
+def test_bpe_pairs_plan_topk_and_single_corpus_pass(spark):
+    """Top-k must be TakeOrderedAndProject; exactly two combining
+    aggregates' exchanges (word key, pair key) — the corpus is never
+    re-scanned for the pair explode (it runs over the distinct words)."""
+    import re as _re
+
+    from phphinder_spark.ops.textstats import bpe_pair_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bpe_pair_counts(docs, k=50)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert len(_re.findall(r"Exchange \(\d+\)", tree)) == 2
+    # one scan of the documents parquet only
+    assert tree.count("Scan parquet") == 1
+
+
+def test_stratified_sample_window_only_on_survivors(spark):
+    """The per-group window's input must be the threshold-FILTERED frame
+    (checkpoint scan), never the raw corpus: no full-corpus sort feeds
+    Window."""
+    from phphinder_spark.ops.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = stratified_sample(docs, 5, group_col="lang")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the plan reads the checkpointed survivor RDD, not the parquet
+    assert "Scan ExistingRDD" in plan or "Scan parquet" not in plan
+    assert "Window" in plan
+
+
+def test_dedup_against_cross_corpus(spark):
+    """Incremental-crawl dedup: exact text match flags is_exact_dup,
+    LSH+verify flags near-dups with the best reference match, unique
+    docs pass clean; the comparison is strictly NEW x REFERENCE."""
+    from phphinder_spark.ops.dedup import dedup_against
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ref = spark.createDataFrame(
+        [(100, base), (101, "totally different reference content here "
+                            "about nothing in particular at all")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                        # exact dup of ref 100
+            (2, base.replace("kappa", "KAPPA-PRIME")),  # near dup
+            (3, "completely novel words that no reference document "
+                "shares in any shingle whatsoever today"),
+            # near-dup of BOTH ref docs impossible here; uniqueness test
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_against(new, ref, threshold=0.5).collect()}
+    assert out[1].is_exact_dup and out[1].is_dup
+    assert out[1].best_ref_id == 100 and out[1].best_jaccard == 1.0
+    assert not out[2].is_exact_dup and out[2].is_dup
+    assert out[2].best_ref_id == 100 and 0.5 <= out[2].best_jaccard < 1.0
+    assert not out[3].is_dup
+    assert out[3].best_ref_id == -1 and out[3].best_jaccard == 0.0
+    assert set(out) == {1, 2, 3}
+    # two identical NEW docs must NOT flag each other (cross-only):
+    within = spark.createDataFrame(
+        [(1, "same text repeated here five words more padding tokens"),
+         (2, "same text repeated here five words more padding tokens")],
+        "doc_id long, text string",
+    )
+    clean_ref = spark.createDataFrame(
+        [(9, "unrelated reference body entirely different vocabulary "
+             "nothing shared")],
+        "doc_id long, text string",
+    )
+    res = dedup_against(within, clean_ref, threshold=0.5)
+    assert all(not r.is_dup for r in res.collect())
