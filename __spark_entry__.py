@@ -773,6 +773,16 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "rank")
 
 
+def _q_corpus_divergence(spark, sf_dir):
+    """Word-distribution drift between the 'en' slice and the rest of
+    the corpus: add-0.5-smoothed KL both ways + Jensen-Shannon over the
+    union vocabulary (ops/textstats.corpus_divergence)."""
+    docs = _documents(spark, sf_dir)
+    return textstats.corpus_divergence(
+        docs.where("lang = 'en'"), docs.where("lang <> 'en'")
+    )
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -889,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": _q_bpe_pairs,
         "sample_stratified": _q_stratified_sample,
         "dedup_against": _q_dedup_against,
+        "corpus_divergence": _q_corpus_divergence,
         # --- previously-certified core (r6-green)
         "search_term": _q_term,
         "search_and": _q_and,
@@ -898,7 +909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_typo": _q_typo,
         "bm25_topk": _q_bm25,
         "bm25_topk_blockmax": _q_bm25_blockmax,
-        "index_doc_freq": _q_doc_freq,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -929,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,
         "ann_ivf": _q_ann_ivf,
         "search_field": _q_field,
+        "index_doc_freq": _q_doc_freq,
         "search_and_weights": _q_and_weights,
         "search_or_weights": _q_or_weights,
         "search_phrase_positional": _q_phrase_positional,
@@ -2048,6 +2059,37 @@ ORDER BY count DESC, a, b LIMIT 50
         # exactly-k-per-group sample: plain per-group row_number over
         # the hash order (the Spark side's two-phase prefilter changes
         # the PLAN, never the selected set)
+        # KL/JS drift between the 'en' slice and the rest: add-0.5
+        # smoothing over the union vocabulary, denominators folded the
+        # same way the Spark side folds its driver-side literals
+        "corpus_divergence": """
+WITH ca AS (
+  SELECT token, count(*) AS ca
+  FROM (SELECT unnest({toks}) AS token FROM documents WHERE lang = 'en')
+  GROUP BY token
+), cb AS (
+  SELECT token, count(*) AS cb
+  FROM (SELECT unnest({toks}) AS token FROM documents WHERE lang <> 'en')
+  GROUP BY token
+), j AS (
+  SELECT token, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb USING (token)
+), t AS (
+  SELECT count(*) AS v, CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb FROM j
+), pq AS (
+  SELECT (ca + 0.5) / (t.na + 0.5 * t.v) AS p,
+         (cb + 0.5) / (t.nb + 0.5 * t.v) AS q
+  FROM j, t
+)
+SELECT CAST(t.v AS BIGINT) AS vocab_size, t.na AS n_tokens_a,
+       t.nb AS n_tokens_b,
+       round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(q * ln(q / p)), 6) AS kl_ba,
+       round((sum(p * ln(p / ((p + q) / 2)))
+              + sum(q * ln(q / ((p + q) / 2)))) / 2, 6) AS js
+FROM pq, t GROUP BY t.v, t.na, t.nb
+""".format(toks=_TOKS),
         "sample_stratified": """
 SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM (
   SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

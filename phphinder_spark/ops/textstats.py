@@ -800,3 +800,72 @@ def bpe_pair_counts(
             F.col("count").desc(), F.col("a"), F.col("b")
         ).limit(int(k))
     return counts
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two corpora's word distributions — the
+    mixture-tuning / domain-shift diagnostic (is this crawl increment
+    like my training mix? how far is the code slice from the prose
+    slice?). Returns ONE row: (vocab_size, n_tokens_a, n_tokens_b,
+    kl_ab, kl_ba, js) with Kullback-Leibler both ways and the bounded
+    Jensen-Shannon divergence (natural log), all over add-``smoothing``
+    estimates on the UNION vocabulary (so unseen-in-one-side tokens
+    contribute finitely), rounded to 6 dp.
+
+    Scale: one token-keyed combining count per side (Zipf heads
+    pre-reduce map-side), a vocabulary-sized full outer join, and a
+    single-row aggregate — the corpora are each touched once, map-side;
+    nothing downstream is corpus-scale."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_col(col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = (
+        _counts(a, "ca")
+        .join(_counts(b, "cb"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = joined.agg(
+        F.count("*").alias("v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    ).collect()[0]
+    v, na, nb = int(tot["v"]), int(tot["na"] or 0), int(tot["nb"] or 0)
+    if v == 0:
+        return a.sparkSession.createDataFrame(
+            [(0, 0, 0, 0.0, 0.0, 0.0)],
+            "vocab_size long, n_tokens_a long, n_tokens_b long, "
+            "kl_ab double, kl_ba double, js double",
+        )
+    # add-k smoothed probabilities over the union vocabulary; the
+    # denominators are driver-side literals so the whole reduction is
+    # one map-side projection + single-row aggregate
+    p = (F.col("ca") + smoothing) / F.lit(na + smoothing * v)
+    q = (F.col("cb") + smoothing) / F.lit(nb + smoothing * v)
+    m = (p + q) / 2
+    return joined.agg(
+        F.lit(v).cast("long").alias("vocab_size"),
+        F.lit(na).cast("long").alias("n_tokens_a"),
+        F.lit(nb).cast("long").alias("n_tokens_b"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_ab"),
+        F.round(F.sum(q * F.log(q / p)), 6).alias("kl_ba"),
+        F.round(
+            (F.sum(p * F.log(p / m)) + F.sum(q * F.log(q / m))) / 2, 6
+        ).alias("js"),
+    )

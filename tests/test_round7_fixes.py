@@ -452,3 +452,34 @@ def test_dedup_against_cross_corpus(spark):
     )
     res = dedup_against(within, clean_ref, threshold=0.5)
     assert all(not r.is_dup for r in res.collect())
+
+
+def test_corpus_divergence_hand_math(spark):
+    import math
+
+    from phphinder_spark.ops.textstats import corpus_divergence
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "x y y y")], "doc_id long, text string")
+    r = corpus_divergence(a, b).collect()[0]
+    # union vocab {x, y}; add-0.5: p = [(2.5)/4, (1.5)/4], q = [(1.5)/5, (3.5)/5]
+    p = [2.5 / 4, 1.5 / 4]
+    q = [1.5 / 5, 3.5 / 5]
+    kl_ab = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+    kl_ba = sum(qi * math.log(qi / pi) for pi, qi in zip(p, q))
+    js = (sum(pi * math.log(pi / ((pi + qi) / 2)) for pi, qi in zip(p, q))
+          + sum(qi * math.log(qi / ((pi + qi) / 2)) for pi, qi in zip(p, q))) / 2
+    assert (r.vocab_size, r.n_tokens_a, r.n_tokens_b) == (2, 3, 4)
+    assert r.kl_ab == pytest.approx(kl_ab, abs=1e-6)
+    assert r.kl_ba == pytest.approx(kl_ba, abs=1e-6)
+    assert r.js == pytest.approx(js, abs=1e-6)
+    # identical corpora -> all zeros; JS is symmetric and bounded
+    same = corpus_divergence(a, a).collect()[0]
+    assert (same.kl_ab, same.kl_ba, same.js) == (0.0, 0.0, 0.0)
+    assert 0 <= r.js <= math.log(2) + 1e-9
+    # empty-vs-empty degrades to the zero row
+    empty = a.where("doc_id < 0")
+    z = corpus_divergence(empty, empty).collect()[0]
+    assert (z.vocab_size, z.kl_ab, z.js) == (0, 0.0, 0.0)
+    with pytest.raises(ValueError, match="smoothing"):
+        corpus_divergence(a, b, smoothing=0)
