@@ -783,6 +783,51 @@ def _q_corpus_divergence(spark, sf_dir):
     )
 
 
+def _q_c4_filter(spark, sf_dir):
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2) over the
+    line-ified view (synthetic corpus has no newlines/punctuation, so
+    the word 'line' becomes a line break and the terminal-punctuation
+    rule is toggled off; both choices replay byte-for-byte in SQL)."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", r"\bline\b", "\n").alias("text")
+    )
+    return textstats.c4_quality_filter(
+        docs, min_words_per_line=5, min_lines=2, require_terminal_punct=False
+    )
+
+
+def _q_chunks(spark, sf_dir):
+    """Per-doc overlapping token windows (64-token chunks, stride 48)
+    for retrieval-index / long-context prep — ops/packing.chunk_documents
+    (map-side sequence+slice+posexplode, zero shuffles)."""
+    from phphinder_spark.ops.packing import chunk_documents
+
+    return chunk_documents(_documents(spark, sf_dir), 64, stride=48)
+
+
+def _q_boilerplate(spark, sf_dir):
+    """Cross-doc boilerplate scrub: lines appearing in >= 2 distinct
+    docs removed from EVERY doc (ops/dedup.remove_boilerplate_lines),
+    on the same line-ified view as dedup_paragraphs."""
+    from phphinder_spark.ops.dedup import remove_boilerplate_lines
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", r"\bline\b", "\n").alias("text")
+    )
+    return remove_boilerplate_lines(docs, min_docs=2)
+
+
+def _q_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment by sha256 prefix ranges
+    (ops/sampling.assign_splits — stable under corpus growth, zero
+    shuffles)."""
+    from phphinder_spark.ops.sampling import assign_splits
+
+    return assign_splits(
+        _documents(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -900,6 +945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_stratified_sample,
         "dedup_against": _q_dedup_against,
         "corpus_divergence": _q_corpus_divergence,
+        "text_c4_filter": _q_c4_filter,
+        "text_chunks": _q_chunks,
+        "dedup_boilerplate": _q_boilerplate,
+        "sample_splits": _q_assign_splits,
         # --- previously-certified core (r6-green)
         "search_term": _q_term,
         "search_and": _q_and,
@@ -2059,6 +2108,89 @@ ORDER BY count DESC, a, b LIMIT 50
         # exactly-k-per-group sample: plain per-group row_number over
         # the hash order (the Spark side's two-phase prefilter changes
         # the PLAN, never the selected set)
+        # C4 line rules on the line-ified view: min 5 words per line,
+        # no 'javascript' lines, doc keeps >= 2 surviving lines and no
+        # lorem-ipsum / brace (terminal-punct rule off — replayed with
+        # the same flags the Spark entry passes)
+        "text_c4_filter": r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '\bline\b', chr(10), 'g') AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM d
+), k AS (
+  SELECT doc_id, t, ls,
+         list_filter(ls, x ->
+             len(list_filter(string_split_regex(lower(x), '\W+'),
+                             w -> w <> '')) >= 5
+             AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS ks
+  FROM l
+)
+SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ks) AS BIGINT) AS n_kept_lines,
+       (len(ks) >= 2 AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{')) AS keep
+FROM k
+""",
+        # per-doc overlapping token windows: starts 0,48,96,... while
+        # start < n_tokens; window = 64 tokens; empty docs emit nothing
+        "text_chunks": """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, st + 1, st + 64), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(toks, st + 1, st + 64)) AS BIGINT) AS n_tokens
+FROM s
+""".format(toks=_TOKS),
+        # boilerplate scrub on the line-ified view: lines in >= 2
+        # distinct docs removed everywhere, docs rebuilt in line order
+        "dedup_boilerplate": r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, '\bline\b', chr(10), 'g') AS t
+  FROM documents
+), p0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ps) + 1),
+                i -> struct_pack(pos := i, line := trim(ps[i])))) AS s
+  FROM (SELECT doc_id, string_split_regex(t, '\n+') AS ps FROM d)
+), p AS (
+  SELECT doc_id, s.pos AS pos, s.line AS line FROM p0 WHERE s.line <> ''
+), hot AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM p GROUP BY line
+  ) WHERE nd >= 2
+), reb AS (
+  SELECT p.doc_id, count(*) AS n_lines,
+         count(*) FILTER (WHERE hot.line IS NULL) AS n_kept,
+         string_agg(CASE WHEN hot.line IS NULL THEN p.line END,
+                    chr(10) ORDER BY p.pos) AS new_text
+  FROM p LEFT JOIN hot ON p.line = hot.line GROUP BY p.doc_id
+)
+SELECT d.doc_id, coalesce(reb.new_text, '') AS text,
+       CAST(coalesce(reb.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+FROM d LEFT JOIN reb USING (doc_id)
+""",
+        # sha256 prefix-range split assignment: train < 0.8 boundary,
+        # val < 0.9 boundary, test = remainder (same fixed-width hex
+        # compare as sample_mixture)
+        "sample_splits": """
+SELECT doc_id, CASE
+  WHEN substr(sha256(concat_ws('|', 'phphinder-split',
+       CAST(doc_id AS VARCHAR))), 1, 15) < 'ccccccccccccd00' THEN 'train'
+  WHEN substr(sha256(concat_ws('|', 'phphinder-split',
+       CAST(doc_id AS VARCHAR))), 1, 15) < 'e66666666666680' THEN 'val'
+  ELSE 'test' END AS split
+FROM documents
+""",
         # KL/JS drift between the 'en' slice and the rest: add-0.5
         # smoothing over the union vocabulary, denominators folded the
         # same way the Spark side folds its driver-side literals

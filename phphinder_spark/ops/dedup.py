@@ -1205,3 +1205,112 @@ def dedup_paragraphs(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    split_regex: str = r"\n+",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "\n",
+    hash_key: bool = False,
+) -> DataFrame:
+    """Cross-document boilerplate removal: any line appearing in at
+    least ``min_docs`` DISTINCT documents is cut from EVERY document —
+    the nav-menu / cookie-banner / footer scrub of web-corpus pipelines
+    (RefinedWeb-style line-wise correction). Complements
+    :func:`dedup_paragraphs`, which keeps the FIRST occurrence; true
+    boilerplate should keep none.
+
+    Splits on ``split_regex``, trims, ignores empty pieces, and
+    rebuilds each doc from the surviving lines in original order.
+    Returns (id_col, text, n_lines, n_kept); docs whose every line was
+    boilerplate (or that had none) come back as ``""``.
+
+    Scale: the hot set is a line-keyed count of distinct doc ids —
+    two map-side-combining exchanges ((line, id) dedup then line
+    count), with the hot side then joined back line-keyed
+    (co-partitioned with the count; AQE splits the skewed hot lines).
+    The rebuild is a doc-keyed collect_list bounded by lines-per-doc.
+    ``hash_key=True`` is the 100-TB form: every exchange carries
+    ``xxhash64(line)`` longs instead of line bodies, and docs are
+    rebuilt MAP-SIDE from their original text (re-split + position
+    filter), exactly like :func:`dedup_paragraphs`'s hash form."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    lines = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), split_regex)).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("line", F.trim("line"))
+        .where(F.col("line") != "")
+    )
+    if hash_key:
+        lines = lines.select("id", "pos", F.xxhash64("line").alias("line"))
+    hot = (
+        lines.select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") >= int(min_docs))
+        .select("line", F.lit(True).alias("is_hot"))
+    )
+    flagged = lines.join(hot, "line", "left").withColumn(
+        "is_keep", F.col("is_hot").isNull()
+    )
+    if hash_key:
+        # line bodies never shuffled: roll up KEPT positions per doc,
+        # rebuild map-side from the original text
+        stats = flagged.groupBy("id").agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("is_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_keep"), F.col("pos")))
+            ).alias("keep_pos"),
+        )
+        pieces = F.split(F.col(text_col), split_regex)
+        return (
+            docs.select(F.col(id_col).alias("id"), F.col(text_col))
+            .join(stats, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.array_join(
+                    F.transform(
+                        F.coalesce("keep_pos", F.array().cast("array<int>")),
+                        lambda p: F.trim(F.element_at(pieces, p + 1)),
+                    ),
+                    joiner,
+                ).alias("text"),
+                F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            )
+        )
+    rebuilt = flagged.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            joiner,
+        ).alias("new_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("new_text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -133,3 +133,50 @@ def pack_sequences(
         F.floor(start / max_tokens).cast("long").alias("seq_id"),
         (start % max_tokens).cast("long").alias("seq_offset"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-window chunking — the splitting step of
+    long-context training prep and embedding indexing (cut each doc into
+    windows of at most ``max_tokens`` tokens; ``stride < max_tokens``
+    gives overlapping sliding windows, the usual retrieval-index shape).
+    Unlike :func:`pack_sequences` (which concatenates ACROSS documents),
+    chunks never cross document boundaries.
+
+    Window ``i`` covers tokens ``[i*stride, i*stride + max_tokens)``;
+    starts run over ``0, stride, 2*stride, ...`` while ``start <
+    n_tokens``, so the final window may be short. Returns (doc_id,
+    chunk_id, chunk_text, n_tokens) with ``chunk_text`` the
+    space-joined tokens (token-normalized, like the other rebuild ops).
+    Empty and NULL documents emit zero chunks.
+
+    Scale: entirely map-side — tokenize, ``sequence`` of starts,
+    ``transform``+``slice``, one ``posexplode``. Zero shuffles, zero
+    joins; output row count is sum(ceil(n_doc / stride)), each task
+    chunks only its own documents."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).where(F.size("toks") > 0)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride)),
+        lambda s: F.slice("toks", s + 1, max_tokens),
+    )
+    return base.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "ck")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("ck", " ").alias("chunk_text"),
+        F.size("ck").cast("long").alias("n_tokens"),
+    )

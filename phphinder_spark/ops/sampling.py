@@ -294,3 +294,51 @@ def stratified_sample(
         surv.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= int(k))
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "phphinder-split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in
+    exactly one named bucket, decided by where its 60-bit
+    ``sha256(salt | key)`` prefix falls among the cumulative fraction
+    boundaries (bucket order = dict insertion order). Pure function of
+    (salt, key): re-runs, retries, different partitionings, and
+    different engines agree row-for-row — and because every bucket is a
+    PREFIX-RANGE of the same hash, adding documents later never moves
+    an existing document between splits (the stability property naive
+    ``randomSplit`` lacks).
+
+    ``fractions`` defaults to ``{"train": .98, "val": .01, "test":
+    .01}`` and must sum to 1 (±1e-6); the last bucket absorbs float
+    rounding. Appends ``split_col`` to the input columns.
+
+    Scale: the boundaries fold into one literal CASE chain — a map-side
+    projection, zero shuffles, zero joins."""
+    fractions = (
+        {"train": 0.98, "val": 0.01, "test": 0.01}
+        if fractions is None
+        else fractions
+    )
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    h = _hash_prefix(key_col, salt)
+    expr = F.lit(names[-1])  # last bucket absorbs rounding
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append((threshold_hex(cum), name))
+    for thr, name in reversed(cases):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -869,3 +869,80 @@ def corpus_divergence(
             (F.sum(p * F.log(p / m)) + F.sum(q * F.log(q / m))) / 2, 6
         ).alias("js"),
     )
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning heuristics (Raffel et al. 2020
+    §2.2 — the rules that produced C4 from Common Crawl):
+
+    - keep only lines with >= ``min_words_per_line`` words;
+    - keep only lines ending in terminal punctuation (``. ! ? "``,
+      toggleable via ``require_terminal_punct`` for corpora that are
+      not sentence-punctuated);
+    - drop lines containing the word "javascript" (boilerplate
+      "enable javascript" banners);
+    - drop the whole DOCUMENT when it contains "lorem ipsum", a curly
+      brace (code), or fewer than ``min_lines`` surviving lines.
+
+    The upstream bad-words blocklist rule is intentionally NOT shipped
+    (the list is a third-party artifact we will not vendor); compose
+    with a caller-supplied term filter if needed. The 3-sentence-span
+    dedup rule lives in :func:`duplicate_spans` / CCNet paragraph dedup.
+
+    Returns (doc_id, clean_text, n_lines, n_kept_lines, keep):
+    ``clean_text`` joins the surviving lines with newline; ``keep`` is
+    the document-level verdict. NULL text -> (NULL, 0, 0, false).
+
+    Scale: one map-side projection — split/filter/join are JVM
+    higher-order column exprs, zero shuffles, zero joins."""
+
+    def _line_ok(x: F.Column) -> F.Column:
+        words = F.size(
+            F.filter(F.split(F.lower(x), _TOKEN_SPLIT), lambda t: t != "")
+        )
+        ok = words >= F.lit(int(min_words_per_line))
+        if require_terminal_punct:
+            ok = ok & x.rlike(r'[.!?"]$')
+        return ok & ~F.lower(x).rlike(r"\bjavascript\b")
+
+    # NB: transform(col, F.trim) would bind the element INDEX to trim's
+    # optional trim-character-set parameter — the lambda is load-bearing
+    lines = F.filter(
+        F.transform(F.split(F.col(col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    kept = F.filter(lines, _line_ok)
+    low = F.lower(F.col(col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("ls"),
+        kept.alias("ks"),
+        (
+            ~low.contains("lorem ipsum") & ~low.contains("{")
+        ).alias("doc_ok"),
+    )
+    # guard BOTH size legs: legacy size(NULL) = -1, ANSI size(NULL) = NULL
+    def _n(c: str) -> F.Column:
+        return (
+            F.when(F.col(c).isNotNull(), F.size(c))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return base.select(
+        "doc_id",
+        F.array_join("ks", "\n").alias("clean_text"),
+        _n("ls").alias("n_lines"),
+        _n("ks").alias("n_kept_lines"),
+        (
+            (_n("ks") >= F.lit(int(min_lines)))
+            & F.coalesce("doc_ok", F.lit(False))
+        ).alias("keep"),
+    )
