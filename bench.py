@@ -112,7 +112,9 @@ def main() -> None:
                  "dedup_paragraphs", "dsir_weights",
                  "pipeline_clean_corpus", "pipeline_clean_full",
                  "pipeline_train_prep", "pipeline_clean_cut",
-                 "sample_upsample"):
+                 "sample_upsample",
+                 "text_c4_filter", "text_chunks", "dedup_boilerplate",
+                 "sample_splits", "corpus_divergence"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)
