@@ -828,6 +828,36 @@ def _q_assign_splits(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_pipeline_ingest(spark, sf_dir):
+    """Incremental-crawl admission (ops/pipeline.ingest_increment):
+    the doc_id % 3 != 0 slice is the NEW increment, % 3 == 0 the
+    existing archive — archive dups dropped first (dedup_against),
+    then the standard clean over survivors; the oracle certifies the
+    composed (archive-dedup ∘ clean) keeper set value-level."""
+    from phphinder_spark.ops import pipeline
+
+    docs = _documents(spark, sf_dir)
+    return pipeline.ingest_increment(
+        docs.where("doc_id % 3 != 0"),
+        docs.where("doc_id % 3 = 0"),
+        against_threshold=0.6,
+        min_words=20,
+        min_stop_hits=1,
+    )
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING: 8 frequency-weighted merges over the
+    corpus (ops/textstats.train_bpe). Deliberately has NO oracle_sql
+    entry — each merge depends on the argmax of the previous round's
+    state, which a single SQL statement cannot express (the documented
+    iterative-algorithm carve-out); correctness is pinned instead by
+    exact-match pytest vs a reference Python trainer
+    (tests/test_round7_ops.py::test_train_bpe_matches_reference) and
+    the single-round statistic is value-certified via text_bpe_pairs."""
+    return textstats.train_bpe(_documents(spark, sf_dir), 8)
+
+
 def _q_langid(spark, sf_dir):
     return textstats.language_id(_documents(spark, sf_dir), top_n=50)
 
@@ -949,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_chunks,
         "dedup_boilerplate": _q_boilerplate,
         "sample_splits": _q_assign_splits,
+        "pipeline_ingest": _q_pipeline_ingest,
+        "text_bpe_merges": _q_bpe_merges,
         # --- previously-certified core (r6-green)
         "search_term": _q_term,
         "search_and": _q_and,
@@ -1412,6 +1444,22 @@ WHERE NOT k.is_dup AND q.gopher_pass
   AND k.doc_id NOT IN ({decontam_sql})
 """
 
+    # incremental-crawl admission: the dedup_against oracle (NEW =
+    # % 3 != 0 vs archive = % 3 = 0) selects the admitted slice, then
+    # the SAME clean pipeline runs over it — re-rendered against the
+    # `fresh` CTE (textual table substitution; the against leg itself
+    # still reads `documents`)
+    pipeline_ingest_sql = (
+        f"""
+WITH fresh AS (
+  SELECT d.* FROM documents d
+  JOIN ({dedup_against_sql}) f ON d.doc_id = f.doc_id
+  WHERE NOT f.is_dup
+)
+"""
+        + pipeline_sql.replace("FROM documents", "FROM fresh")
+    )
+
     # training-prep: the full pipeline's keeper set, mixture-sampled by
     # the exact hash predicate, then packed by a window cumsum over the
     # SCRUBBED text's token counts in doc_id order (same arithmetic the
@@ -1780,6 +1828,7 @@ SELECT doc_id, score FROM (
         # progressively scrubbed text in the SAME kind order as the op
         "text_pii_scrub": pii_sql,
         "pipeline_clean_corpus": pipeline_sql,
+        "pipeline_ingest": pipeline_ingest_sql,
         "pipeline_clean_full": pipeline_full_sql,
         "pipeline_clean_cut": pipeline_cut_sql,
         "pipeline_train_prep": pipeline_train_sql,

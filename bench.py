@@ -114,7 +114,8 @@ def main() -> None:
                  "pipeline_train_prep", "pipeline_clean_cut",
                  "sample_upsample",
                  "text_c4_filter", "text_chunks", "dedup_boilerplate",
-                 "sample_splits", "corpus_divergence"):
+                 "sample_splits", "corpus_divergence",
+                 "pipeline_ingest", "text_bpe_merges"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -151,3 +151,64 @@ def prepare_training_corpus(
     ).select(
         "doc_id", "cluster_id", group_col, "n_tokens", "seq_id", "seq_offset"
     )
+
+
+def ingest_increment(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    against_threshold: float = 0.6,
+    jaccard_threshold: float = 0.6,
+    min_words: int = 20,
+    min_stop_hits: int = 2,
+    benchmark: DataFrame | BenchmarkGrams | None = None,
+    decontam_n: int = 8,
+    decontam_mode: str = "drop",
+) -> DataFrame:
+    """Incremental-crawl admission — the flow a continuously-updated
+    100-TB training set actually runs per crawl increment:
+
+    1. :func:`phphinder_spark.ops.dedup.dedup_against` drops every new
+       doc that duplicates the EXISTING archive (exact sha256 or
+       LSH-verified Jaccard >= ``against_threshold``) — the archive is
+       never re-deduplicated;
+    2. :func:`clean_corpus` runs the standard within-increment clean
+       over the survivors (quality gate + PII scrub + transitive
+       near-dup dedup + optional benchmark decontamination).
+
+    Returns ``clean_corpus``'s (doc_id, cluster_id, scrubbed) for the
+    admitted docs. Order matters and is part of the contract: archive
+    duplicates are removed BEFORE the within-increment dedup, so a new
+    doc whose only twin was archive-rejected still survives as the
+    cluster representative of its own increment.
+
+    Scale: the archive comparison is |new| x band-collision-rate (see
+    dedup_against — never archive²); the admission filter is one
+    id-keyed semi join on uniform ids; the clean stage then sees only
+    the increment."""
+    from phphinder_spark.ops.dedup import dedup_against
+
+    flags = dedup_against(
+        new_docs,
+        reference,
+        col=text_col,
+        id_col=id_col,
+        threshold=against_threshold,
+    )
+    fresh = new_docs.join(
+        flags.where(~F.col("is_dup")).select(F.col("doc_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    return clean_corpus(
+        fresh,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        min_words=min_words,
+        min_stop_hits=min_stop_hits,
+        benchmark=benchmark,
+        decontam_n=decontam_n,
+        decontam_mode=decontam_mode,
+    )

@@ -946,3 +946,185 @@ def c4_quality_filter(
             & F.coalesce("doc_ok", F.lit(False))
         ).alias("keep"),
     )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    col: str = "text",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
+    loop whose single inner statistic :func:`bpe_pair_counts` computes:
+    start from characters (+ word-end marker), then ``n_merges`` times
+    merge the corpus-frequency-weighted argmax adjacent pair (ties
+    broken (count desc, a asc, b asc) — a deterministic total order,
+    so training replays identically across partitionings and runs).
+
+    Returns the merge table (step, a, b, count) — the artifact a
+    tokenizer ships. Stops early when no adjacent pair remains.
+
+    Scale: the corpus is touched ONCE (one token-keyed combining
+    shuffle into the word-frequency table); every training round then
+    runs on the DISTINCT-word frame (vocabulary-sized — tens of
+    millions of rows at 100 TB, never corpus-scale): one pair-keyed
+    combining count + a 1-row TakeOrderedAndProject argmax, and a
+    map-side fold applying the merge. The per-round frame is eagerly
+    localCheckpoint-ed so plan depth stays constant across rounds
+    (the fold expression would otherwise nest ``n_merges`` deep).
+    This is an inherently ITERATIVE algorithm (each merge depends on
+    the argmax of the previous state), so it carries a pytest oracle
+    (exact match vs a reference Python trainer) instead of a
+    single-statement SQL oracle."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        df.select(F.explode(tokens_col(col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    syms0 = F.concat(F.split(F.col("w"), ""), F.array(F.lit(end_marker)))
+    vocab = words.select("wc", syms0.alias("syms")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(int(n_merges)):
+        # guard: a fully-merged word has ONE symbol, and
+        # sequence(1, 0) DESCENDS ([1, 0]) instead of being empty
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pairs = vocab.select("wc", F.explode(pair_arr).alias("p"))
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("count"))
+            .orderBy(F.col("count").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["count"])
+        merges.append((step, a, b, cnt))
+        # left-to-right non-overlapping merge: fold the symbol array,
+        # joining the last accumulated symbol with the current one when
+        # they equal (a, b); a just-merged symbol can never re-merge in
+        # the same pass (that would need b == "")
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("wc", merged.alias("syms")).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges, "step int, a string, b string, count long"
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    col: str = "text",
+    id_col: str = "doc_id",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Segment each document with a trained BPE merge table
+    (:func:`train_bpe`): every word starts as characters + the word-end
+    marker, then merges apply in RANK order (lowest-rank adjacent pair
+    first — the standard greedy BPE encoder, e.g. the GPT-2 reference
+    encoder), exactly inverting training. Returns (id_col, bpe_tokens,
+    n_bpe_tokens) with ``bpe_tokens`` the per-doc symbol sequence.
+
+    Scale: the merge table is a driver-side broadcast (tokenizers are
+    tens of thousands of rows); segmentation is a map-only Arrow-batched
+    pass (``mapInPandas``) with a per-batch word cache — Python is
+    acceptable here because the greedy rank loop is data-dependent
+    per word and has no JVM-expressible form; the word cache makes the
+    amortized cost per INSTANCE tiny (Zipf: most instances hit the
+    cache)."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").collect()
+        merge_list = [(r["a"], r["b"]) for r in rows]
+    else:
+        merge_list = list(merges)
+    ranks = {pair: i for i, pair in enumerate(merge_list)}
+    import re as _re
+
+    token_re = _re.compile(r"\W+", _re.UNICODE)
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w) + [end_marker]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            a, b = syms[best], syms[best + 1]
+            # merge ALL occurrences of (a, b) left-to-right, as in
+            # training's single-pass fold
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def segment(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_out, counts = [], []
+            for text in pdf["__text"]:
+                if text is None:
+                    toks_out.append(None)
+                    counts.append(0)
+                    continue
+                toks: list[str] = []
+                for w in token_re.split(text.lower()):
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w)
+                        cache[w] = enc
+                    toks.extend(enc)
+                toks_out.append(toks)
+                counts.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"],
+                    "bpe_tokens": toks_out,
+                    "n_bpe_tokens": counts,
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(col).alias("__text")
+    )
+    return base.mapInPandas(
+        segment, "doc_id long, bpe_tokens array<string>, n_bpe_tokens long"
+    ).withColumnRenamed("doc_id", id_col)

@@ -156,6 +156,17 @@ def main():
             for r in df.groupBy("split").count().collect()
         },
     )
+    # BPE training: the corpus leg is one combining shuffle into the
+    # word-frequency table; every round after that is vocabulary-sized
+    # (POOL*8 words -> ~VOCAB distinct), so wall should be dominated by
+    # the first pass + n_merges small rounds
+    from phphinder_spark.ops.textstats import train_bpe
+
+    cell(
+        "train_bpe_10_merges",
+        lambda: train_bpe(docs, 10),
+        lambda df: {"merges": df.count()},
+    )
 
     with open("/root/repo/BENCH_r7_ops.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -229,3 +229,152 @@ def test_new_map_only_ops_have_no_exchange(spark):
         assert "Exchange" not in plan, name
         assert "Join" not in plan, name
         assert "Python" not in plan and "ArrowEval" not in plan, name
+
+
+# ------------------------------------------------------ ingest pipeline
+
+
+def test_ingest_increment(spark):
+    from phphinder_spark.ops.pipeline import ingest_increment
+
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch the scene from their warm burrows "
+            "under the old oak tree near the river")
+    ref = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    twin = base.replace("river", "creek")
+    new = spark.createDataFrame(
+        [
+            (1, base),          # exact archive dup -> dropped
+            (2, twin),          # within-increment pair with 3
+            (3, twin),          # exact dup of 2 -> cluster rep = 2
+            (4, "short junk"),  # fails gopher min_words
+            (5, "the tall grey heron waits beside the quiet pond "
+                "watching small silver fish move slowly between green "
+                "reeds while evening light settles over the water"),
+        ],
+        "doc_id long, text string",
+    )
+    # the twin's exact shingle Jaccard vs base is 0.926 — below the
+    # 0.95 archive gate here, so it is admitted and deduped WITHIN the
+    # increment (at 0.9 it would be an archive near-dup and dropped)
+    got = {
+        r.doc_id: r
+        for r in ingest_increment(
+            new, ref, against_threshold=0.95, min_words=20, min_stop_hits=1
+        ).collect()
+    }
+    # doc 1 dropped by the archive pass, 3 by within-increment dedup,
+    # 4 by quality; 2 survives as its own cluster representative even
+    # though its exact twin 3 was also in the increment
+    assert set(got) == {2, 5}
+    assert got[2].cluster_id == 2
+    # archive-dup removal happens FIRST: with doc 1 dropped before the
+    # within-increment dedup, doc 2's cluster excludes 1
+    assert got[2].scrubbed == twin
+
+
+# --------------------------------------------------------------- BPE
+
+
+def _ref_bpe_train(texts, n_merges, end_marker="</w>"):
+    """Reference Sennrich-style trainer: dict word counts, argmax pair
+    (count desc, a asc, b asc), left-to-right non-overlapping merge."""
+    import collections
+    import re
+
+    wc = collections.Counter(
+        w for t in texts for w in re.split(r"\W+", t.lower()) if w
+    )
+    vocab = {tuple(list(w) + [end_marker]): c for w, c in wc.items()}
+    merges = []
+    for step in range(n_merges):
+        pc = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    from phphinder_spark.ops.textstats import train_bpe
+
+    texts = [
+        "the cat sat on the mat with another cat",
+        "that hat is the best hat that the rat ever had",
+        "low lower lowest newer newest wider wide widest",
+        "aaa aaaa aa a banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.a, r.b, r["count"])
+        for r in train_bpe(df, 12).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe_train(texts, 12)
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe(df, 0)
+
+
+def test_train_bpe_overlapping_pairs(spark):
+    """Runs like 'aaaa' merge left-to-right non-overlapping: (a,a)
+    count is 3*freq per 'aaaa'... the engine must agree with the
+    reference on every repeated-symbol case."""
+    from phphinder_spark.ops.textstats import train_bpe
+
+    texts = ["aaaa aaa aa aaaaa", "abab ababab ba"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.a, r.b, r["count"])
+        for r in train_bpe(df, 8).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe_train(texts, 8)
+
+
+def test_apply_bpe_roundtrip(spark):
+    from phphinder_spark.ops.textstats import apply_bpe, train_bpe
+
+    texts = [
+        "the cat sat on the mat with another cat",
+        "that hat is the best hat that the rat ever had",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, 30)
+    out = {r.doc_id: r for r in apply_bpe(df, merges).collect()}
+    # 'the' recurs 5x across 19 words: trained to 30 merges it must
+    # have become a single symbol
+    assert "the</w>" in out[0].bpe_tokens
+    # every doc's symbols re-join to its original words
+    for i, t in enumerate(texts):
+        words = t.split()
+        rejoined = "".join(out[i].bpe_tokens).replace("</w>", " ").split()
+        assert rejoined == words
+        assert out[i].n_bpe_tokens == len(out[i].bpe_tokens)
+    # NULL text -> NULL tokens, 0 count
+    nl = apply_bpe(
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        merges,
+    ).collect()[0]
+    assert nl.bpe_tokens is None and nl.n_bpe_tokens == 0
