@@ -846,6 +846,75 @@ def _q_pipeline_ingest(spark, sf_dir):
     )
 
 
+def _q_split_leakage(spark, sf_dir):
+    """Train/eval contamination audit (ops/dedup.split_leakage): exact
+    duplicates the dedup stage missed can straddle the train/test wall
+    once splits are assigned. The driver corpus has no natural exact
+    dups, so the entry PLANTS them deterministically — the
+    ``doc_id % 7 == 0`` slice re-keyed to ``doc_id + 1000`` — then
+    assigns sha256-prefix splits and audits; the oracle recomputes the
+    planted union, the split CASE chain, and the hash join in SQL."""
+    from phphinder_spark.ops.dedup import split_leakage
+    from phphinder_spark.ops.sampling import assign_splits
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where("doc_id % 7 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000)
+    )
+    s = assign_splits(
+        docs.unionByName(planted), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split_leakage(s)
+
+
+def _q_code_quality(spark, sf_dir):
+    """StarCoder-style source-file quality rules
+    (ops/textstats.code_quality) over the line-ified documents view
+    (same ``\\bline\\b -> \\n`` rewrite the paragraph/boilerplate
+    entries use, so files have real line structure). The
+    ``doc_id % 13 == 0`` slice gets an ``# auto-generated`` header
+    planted to exercise the marker rule; thresholds (250/120) split
+    the sf0.01 corpus ~mid-distribution on both line metrics."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("# auto-generated\n"),
+                F.regexp_replace("text", r"\bline\b", "\n"),
+            ),
+        )
+        .otherwise(F.regexp_replace("text", r"\bline\b", "\n"))
+        .alias("text"),
+    )
+    return textstats.code_quality(
+        docs, max_line_len=250, max_avg_line_len=120, min_alnum_frac=0.25
+    )
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup
+    (ops/events.session_stats, 30-min gap) over the events log; the
+    oracle is the identical two-window composition in DuckDB on exact
+    integer-microsecond arithmetic."""
+    from phphinder_spark.ops.events import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_minutes=30.0)
+
+
+def _q_events_windows(spark, sf_dir):
+    """Tumbling 60-min window rollup per event_type
+    (ops/events.window_counts) — integer bucket ids, map-side + one
+    combining aggregate."""
+    from phphinder_spark.ops.events import window_counts
+
+    return window_counts(_events(spark, sf_dir), window_minutes=60.0)
+
+
 def _q_bpe_merges(spark, sf_dir):
     """BPE tokenizer TRAINING: 8 frequency-weighted merges over the
     corpus (ops/textstats.train_bpe). Deliberately has NO oracle_sql
@@ -981,6 +1050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_splits": _q_assign_splits,
         "pipeline_ingest": _q_pipeline_ingest,
         "text_bpe_merges": _q_bpe_merges,
+        "dedup_split_leakage": _q_split_leakage,
+        "text_code_quality": _q_code_quality,
+        "events_sessions": _q_events_sessions,
+        "events_windows": _q_events_windows,
         # --- previously-certified core (r6-green)
         "search_term": _q_term,
         "search_and": _q_and,
@@ -2299,6 +2372,90 @@ SELECT x.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents x LEFT JOIN hits h ON x.doc_id = h.doc_id
 """.format(toks=_TOKS),
+        # planted-duplicate split-leakage audit: same union + split CASE
+        # chain as sample_splits, then a sha256(text) join of the
+        # non-train side against per-hash train counts
+        "dedup_split_leakage": """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+), s AS (
+  SELECT doc_id, text, CASE
+    WHEN substr(sha256(concat_ws('|', 'phphinder-split',
+         CAST(doc_id AS VARCHAR))), 1, 15) < 'ccccccccccccd00' THEN 'train'
+    WHEN substr(sha256(concat_ws('|', 'phphinder-split',
+         CAST(doc_id AS VARCHAR))), 1, 15) < 'e66666666666680' THEN 'val'
+    ELSE 'test' END AS split
+  FROM u
+), tc AS (
+  SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS n_train_copies
+  FROM s WHERE split = 'train' GROUP BY 1
+)
+SELECT e.doc_id, e.split, tc.n_train_copies
+FROM (SELECT doc_id, split, sha256(text) AS h FROM s
+      WHERE split <> 'train') e
+JOIN tc USING (h)
+""",
+        # StarCoder-style code-quality rules on the line-ified view with
+        # the planted autogen header; keep uses the ROUNDED metric
+        # columns, exactly as the Spark op does
+        "text_code_quality": r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0
+      THEN '# auto-generated' || chr(10)
+           || regexp_replace(text, '\bline\b', chr(10), 'g')
+      ELSE regexp_replace(text, '\bline\b', chr(10), 'g') END AS t
+  FROM documents
+), m AS (
+  SELECT doc_id, t,
+    CAST(list_max(list_transform(string_split(t, chr(10)),
+         x -> length(x))) AS BIGINT) AS max_line,
+    round(list_sum(list_transform(string_split(t, chr(10)),
+          x -> length(x)))::DOUBLE
+          / len(string_split(t, chr(10))), 6) AS avg_line,
+    round(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+          / length(t), 6) AS alnum_frac,
+    contains(lower(substr(t, 1, 512)), 'auto-generated')
+      OR contains(lower(substr(t, 1, 512)), 'autogenerated')
+      OR contains(lower(substr(t, 1, 512)), 'generated by') AS autogen
+  FROM d
+)
+SELECT doc_id, max_line, avg_line, alnum_frac,
+       (max_line <= 250 AND avg_line <= 120.0 AND alnum_frac >= 0.25
+        AND NOT autogen) AS keep
+FROM m
+""",
+        # sessionize = lag-gap flag + running sum, both over
+        # (user_id | ts, event_id); exact integer-microsecond arithmetic
+        "events_sessions": """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id, us, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       round((max(us) - min(us)) / 1e6, 6) AS duration_s,
+       round(sum(value), 6) AS total_value
+FROM t GROUP BY user_id, session_seq
+""",
+        # tumbling 60-min buckets as integer epoch-microsecond floors
+        "events_windows": """
+SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT)
+         AS window_start_us,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
         # ---- streaming batch-replay equivalence: the Spark side ran the
         # REAL stream (micro-batches, state store, watermark); the oracle
         # is the batch semantics over the same rows

@@ -1314,3 +1314,42 @@ def remove_boilerplate_lines(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    col: str = "text",
+    train_split: str = "train",
+) -> DataFrame:
+    """Train/eval contamination audit: flag every NON-train row whose
+    text is byte-identical to some TRAIN row's text. Run it after
+    split assignment (``ops.sampling.assign_splits``) — splits are
+    assigned per doc_id, so a corpus whose DEDUP missed an exact pair
+    can land the two copies on opposite sides of the train/test wall,
+    which silently inflates eval scores (the canonical "test-set
+    leakage" failure of LLM data pipelines; near-dup leakage composes
+    the same shape with :func:`dedup_against` instead of the sha join).
+
+    Returns one row per leaked eval doc: ``(id_col, split_col,
+    n_train_copies)`` — how many train rows share its exact text.
+
+    Scale: both sides reduce to ``sha2(text)`` 32-byte keys map-side;
+    the train side pre-aggregates to (hash, count) — a combining
+    groupBy, so the join's build side is |distinct train texts|, never
+    |train rows| — and the join key is a uniform crypto hash (no skew
+    by construction). Nothing ever shuffles document text."""
+    h = F.sha2(F.col(col), 256).alias("h")
+    train_counts = (
+        df.where(F.col(split_col) == train_split)
+        .select(h)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_train_copies"))
+    )
+    evals = df.where(F.col(split_col) != train_split).select(
+        F.col(id_col), F.col(split_col), h
+    )
+    return evals.join(train_counts, "h").select(
+        id_col, split_col, "n_train_copies"
+    )

@@ -1,0 +1,169 @@
+"""Event-stream analytics: sessionization and tumbling-window rollups.
+
+A large-scale ingest pipeline emits telemetry — crawl fetches, indexing
+commits, user queries — as an append-only event log ``(event_id, ts,
+user_id, event_type, value, ...)``. The two classic reductions over
+that log are
+
+``sessionize``
+    gap-based session assignment: within one ``user_id``, a new session
+    starts whenever the silence since the previous event exceeds
+    ``gap``. Implemented as the textbook two-window composition — a
+    ``lag`` to compute the inter-event gap, then a running ``sum`` of
+    the new-session flags — BOTH over the same ``(user_id)`` partition
+    key, so Spark plans exactly ONE shuffle (by ``user_id``) and one
+    per-partition sort feeding both window frames.
+
+``session_stats`` / ``window_counts``
+    per-session and per-tumbling-window aggregates; plain combining
+    ``groupBy``s (map-side partial aggregation, AQE-splittable).
+
+Scale notes (100 TB):
+
+- The sessionize window partitions by ``user_id`` — per-key state is
+  one row (the previous timestamp + running count), and keys are
+  independent, so the op distributes across however many users the log
+  has. The inherent limit is a single HOT key: one user's events must
+  be time-sorted in one task (sessionization is a per-user monotone
+  scan; that is the semantics, not an implementation choice). For logs
+  where one synthetic key (e.g. a bot account) dominates, pre-split
+  that key on coarse time buckets and stitch at bucket boundaries —
+  left out here because it changes results for sessions that straddle
+  a bucket edge, which callers must opt into consciously.
+- All timestamp arithmetic is INTEGER microseconds (``unix_micros`` /
+  DuckDB ``epoch_us``) — exact, overflow-safe until year ~294k, and
+  bit-identical across engines, unlike double epoch seconds which
+  round at the 16th significant digit.
+- ``window_counts`` buckets by integer division of the micros — a
+  map-side projection + one combining aggregate; no window functions,
+  no per-key anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+MICROS_PER_MIN = 60_000_000
+
+
+def _micros(df: DataFrame, ts_col: str) -> Column:
+    """Epoch microseconds of ``ts_col``. TIMESTAMP is taken as the
+    instant it is; TIMESTAMP_NTZ (what parquet event logs usually
+    carry) is interpreted as UTC wall time — NOT the session zone — so
+    the result is a pure function of the stored value, identical across
+    sessions and engines (DuckDB's ``epoch_us`` makes the same naive-
+    is-UTC call). The session-zone cast is undone with
+    ``from_utc_timestamp``; sub-second precision survives both hops.
+    Caveat: if the session zone has DST, the undo uses the offset at
+    the shifted instant, so wall times inside a transition window can
+    land an hour off — run event analytics with
+    ``spark.sql.session.timeZone=UTC`` (any fixed-offset zone is also
+    exact), which is the recommended cluster default anyway."""
+    c = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        return F.unix_micros(F.from_utc_timestamp(c.cast("timestamp"), tz))
+    return F.unix_micros(c)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Assign a per-user session sequence number (1-based) to every
+    event: a new session starts at the user's first event and whenever
+    the gap since their previous event EXCEEDS ``gap_minutes``
+    (a gap exactly equal to the threshold stays in the same session).
+
+    Ordering inside a user is ``(ts, id_col)`` — the id tiebreak makes
+    the assignment total and deterministic when two events share a
+    timestamp. Appends ``session_col`` (long) to the input columns.
+
+    One shuffle (hash by ``user_col``), one sort, two stacked window
+    frames over the same partitioning — Catalyst plans a single Window
+    operator pair with no extra exchange.
+    """
+    gap_us = int(round(gap_minutes * MICROS_PER_MIN))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(_micros(df, ts_col)).over(w)
+    # Spark forbids nesting one window function inside another, so the
+    # flag is materialized as a column between the two frames; both
+    # frames share (partition, order), so there is still ONE exchange.
+    flagged = df.withColumn(
+        "_new_session",
+        F.when(
+            prev.isNull() | (_micros(df, ts_col) - prev > F.lit(gap_us)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn(
+        session_col, F.sum("_new_session").over(run).cast("long")
+    ).drop("_new_session")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: float = 30.0,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: event count, span in
+    seconds (exact micros arithmetic, reported as ``round(us / 1e6,
+    6)``), and the summed ``value_col``.
+
+    Output: ``(user_col, session_seq, n_events, duration_s,
+    total_value)`` — one combining groupBy on top of the sessionize
+    shuffle; because the groupBy keys start with ``user_col`` (the
+    window's partition key), AQE usually folds the aggregate into the
+    post-window stage without a second exchange.
+    """
+    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.max(_micros(s, ts_col)) - F.min(_micros(s, ts_col))) / 1e6, 6
+        ).alias("duration_s"),
+        F.round(F.sum(value_col), 6).alias("total_value"),
+    )
+
+
+def window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_minutes: float = 60.0,
+    by: str | None = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window rollup: bucket every event into
+    ``floor(unix_micros(ts) / width)`` and aggregate count + summed
+    value per (bucket, ``by``) — the batch equivalent of a Structured
+    Streaming ``window()`` aggregate, kept as integer bucket ids so the
+    result is engine-exact.
+
+    Output: ``(window_start_us, <by>?, n_events, total_value)`` where
+    ``window_start_us`` is the bucket's inclusive start in epoch
+    microseconds (long). Map-side projection + ONE combining aggregate;
+    zero windows, zero joins — the flat-aggregation shape that scales
+    to any log size.
+    """
+    width_us = int(round(window_minutes * MICROS_PER_MIN))
+    # micros - (micros % width), NOT floor(micros / width) * width: the
+    # division form goes through a double, and at 1e15-scale micros a
+    # double ULP is ~0.25 us — boundary events could land one bucket
+    # off (and disagree with the oracle's exact integer //). All-long
+    # arithmetic is exact; event logs are post-1970 so % is the
+    # mathematical mod.
+    us = _micros(df, ts_col)
+    bucket = (us - us % F.lit(width_us)).alias("window_start_us")
+    keys = [bucket] + ([F.col(by)] if by else [])
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("total_value"),
+    )

@@ -1128,3 +1128,79 @@ def apply_bpe(
     return base.mapInPandas(
         segment, "doc_id long, bpe_tokens array<string>, n_bpe_tokens long"
     ).withColumnRenamed("doc_id", id_col)
+
+
+def code_quality(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_line_len: int = 1000,
+    max_avg_line_len: int = 100,
+    min_alnum_frac: float = 0.25,
+    drop_autogenerated: bool = True,
+) -> DataFrame:
+    """Source-code quality heuristics (the SantaCoder/StarCoder
+    preprocessing rules — Allal et al. 2023 §3, Li et al. 2023 §3.1),
+    for corpora whose documents are FILES rather than prose — the
+    (repo, path, lang, content) table of a source-code crawl:
+
+    - drop files with any line longer than ``max_line_len`` chars or an
+      average line length above ``max_avg_line_len`` (minified /
+      data-blob files);
+    - drop files whose alphanumeric-character fraction is below
+      ``min_alnum_frac`` (binary blobs, encoded payloads, ASCII art);
+    - drop files that self-identify as generated ("auto-generated",
+      "autogenerated", "generated by" in the first 512 chars —
+      lockfiles, protobuf output, build artifacts), toggleable.
+
+    Returns ``(doc_id, max_line, avg_line, alnum_frac, keep)``; the
+    metric columns are kept so callers can re-threshold without a
+    second scan. NULL text -> (0, 0.0, 0.0, false).
+
+    Scale: one map-side projection — line splitting and the character
+    ratios are JVM higher-order / regexp column exprs; zero shuffles,
+    zero joins, zero Python."""
+    lens = F.transform(F.split(F.col(col), r"\n"), lambda x: F.length(x))
+    n_alnum = F.length(F.regexp_replace(F.col(col), "[^A-Za-z0-9]", ""))
+    head = F.lower(F.substring(F.col(col), 1, 512))
+    autogen = (
+        head.contains("auto-generated")
+        | head.contains("autogenerated")
+        | head.contains("generated by")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(col).isNotNull(), F.array_max(lens))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("max_line"),
+        F.when(
+            F.col(col).isNotNull(),
+            F.round(
+                F.aggregate(
+                    lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+                )
+                / F.size(lens),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_line"),
+        F.when(
+            F.col(col).isNotNull() & (F.length(col) > 0),
+            F.round(n_alnum / F.length(col), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alnum_frac"),
+        F.coalesce(autogen, F.lit(False)).alias("_autogen"),
+        F.col(col).isNotNull().alias("_ok"),
+    )
+    keep = (
+        F.col("_ok")
+        & (F.col("max_line") <= F.lit(int(max_line_len)))
+        & (F.col("avg_line") <= F.lit(float(max_avg_line_len)))
+        & (F.col("alnum_frac") >= F.lit(float(min_alnum_frac)))
+    )
+    if drop_autogenerated:
+        keep = keep & ~F.col("_autogen")
+    return base.withColumn("keep", keep).drop("_autogen", "_ok")
