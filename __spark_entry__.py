@@ -999,6 +999,37 @@ def _q_stream_perplexity(spark, sf_dir):
     return replay_perplexity(spark, d, sch, model)
 
 
+_EVENT_STAGED: dict[str, tuple] = {}
+
+
+def _event_batches(spark, sf_dir):
+    if sf_dir not in _EVENT_STAGED:
+        import tempfile
+
+        from phphinder_spark.streaming.replay import stage_event_batches
+
+        out = tempfile.mkdtemp(prefix="phph_event_batches_")
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        schema = stage_event_batches(spark, ev, out, n_batches=4)
+        _EVENT_STAGED[sf_dir] = (out, schema)
+    return _EVENT_STAGED[sf_dir]
+
+
+def _q_stream_sessions(spark, sf_dir):
+    """Native session_window sessionization run as a REAL stream (file
+    source, 4 micro-batch waves split by event_id modulus — so most
+    logical sessions arrive split across waves and the state store must
+    merge them). Oracle = the same batch lag/running-sum form the
+    events_sessions entry uses (session_window's boundary is engine-
+    verified identical to batch sessionize: delta > gap splits)."""
+    from phphinder_spark.streaming.replay import replay_session_stats
+
+    d, sch = _event_batches(spark, sf_dir)
+    return replay_session_stats(spark, d, sch, gap="30 minutes")
+
+
 _MEDIA_FIXTURE = "/root/repo/tests/fixtures/media_64.parquet"
 
 
@@ -1054,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_quality": _q_code_quality,
         "events_sessions": _q_events_sessions,
         "events_windows": _q_events_windows,
+        "stream_sessions_replay": _q_stream_sessions,
         # --- previously-certified core (r6-green)
         "search_term": _q_term,
         "search_and": _q_and,
@@ -2447,6 +2479,28 @@ SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
        round((max(us) - min(us)) / 1e6, 6) AS duration_s,
        round(sum(value), 6) AS total_value
 FROM t GROUP BY user_id, session_seq
+""",
+        # streaming session_window replay: boundary rule pinned by test
+        # as identical to batch sessionize (a gap exactly equal to the
+        # threshold MERGES; strictly greater splits)
+        "stream_sessions_replay": """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id, us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING) AS seq
+  FROM s
+)
+SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM t GROUP BY user_id, seq
 """,
         # tumbling 60-min buckets as integer epoch-microsecond floors
         "events_windows": """

@@ -115,7 +115,9 @@ def main() -> None:
                  "sample_upsample",
                  "text_c4_filter", "text_chunks", "dedup_boilerplate",
                  "sample_splits", "corpus_divergence",
-                 "pipeline_ingest", "text_bpe_merges"):
+                 "pipeline_ingest", "text_bpe_merges",
+                 "dedup_split_leakage", "text_code_quality",
+                 "events_sessions", "events_windows"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -162,6 +162,43 @@ def windowed_ingest_stats(
     )
 
 
+def session_stats_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    event_time_col: str = "event_time",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's NATIVE
+    ``session_window`` state operator: per (user, session) event count +
+    summed value, sessions closing when the watermark passes their end.
+    This is the live-telemetry form of ``ops.events.session_stats`` —
+    unbounded logs, bounded state (open sessions only; closed sessions
+    are evicted once the watermark passes their end + gap).
+
+    Boundary semantics match the batch op exactly — empirically pinned
+    (tests/test_events_codequality.py): ``session_window`` merges the
+    next event while it starts AT OR BEFORE current end (= last event +
+    gap), so a gap exactly equal to the threshold stays in the session,
+    identical to batch ``sessionize``'s ``delta > gap`` new-session
+    rule. (The Spark doc's "within the gap" is ambiguous on this edge;
+    the test keeps us honest if the engine ever changes it.)
+
+    Output: ``(session_window struct, user_col, n_events, total_value)``
+    — callers project ``session_window.start`` as the session id."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(event_time_col), gap), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )
+
+
 def perplexity_stream(
     stream: DataFrame,
     lm: DataFrame,

@@ -204,6 +204,84 @@ def replay_ingest_windows(
     )
 
 
+def stage_event_batches(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    n_batches: int = 4,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> StructType:
+    """Split an event log into parquet waves by id modulus, converting
+    its timestamp to an ``event_time`` INSTANT via the NTZ-as-UTC rule
+    (ops/events._micros) so watermarks and session windows behave the
+    same in every session timezone. Unlike :func:`stage_batches` the
+    event time is the log's REAL timestamp, not a synthetic one."""
+    from phphinder_spark.ops.events import _micros
+
+    staged = events.withColumn(
+        "event_time", F.timestamp_micros(_micros(events, ts_col))
+    ).drop(ts_col)
+    for i in range(n_batches):
+        staged.where(F.col(id_col) % n_batches == i).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/wave{i}.parquet")
+    return staged.schema
+
+
+def replay_session_stats(
+    spark: SparkSession,
+    batches_dir: str,
+    schema: StructType,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Final session set after replaying the staged waves through the
+    native session_window operator (complete mode: the state store
+    merges partial sessions across micro-batches — an event wave can
+    split one logical session across arrivals, and the final emission
+    must still be ONE merged row). Output keys sessions by their start
+    in epoch micros, so the batch oracle can reconstruct them with the
+    same lag/running-sum form batch sessionize uses (boundary rule
+    ``delta > gap`` — engine-verified identical to batch)."""
+    from phphinder_spark.streaming.incremental import session_stats_stream
+
+    name = f"replay_sessions_{next(_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="phph_replay_sess_")
+    try:
+        _run(
+            session_stats_stream(
+                _file_stream(spark, batches_dir, schema),
+                user_col=user_col,
+                gap=gap,
+                value_col=value_col,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt),
+            name,
+        )
+    except BaseException:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise
+    return _materialize(
+        spark,
+        name,
+        spark.table(name).select(
+            F.col(user_col),
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.col("n_events"),
+            F.col("total_value"),
+        ),
+        ckpt,
+    )
+
+
 def replay_perplexity(
     spark: SparkSession,
     batches_dir: str,

@@ -130,6 +130,45 @@ def test_window_counts_plan_no_window_no_join(events):
     assert "Window" not in plan and "Join" not in plan, plan
 
 
+def test_stream_sessions_boundary_vs_batch(spark, tmp_path):
+    """Spark's native session_window MERGES an event whose gap exactly
+    equals the threshold (engine-verified here: merge while next <=
+    last + gap), which is identical to batch sessionize's delta > gap
+    new-session rule — pin both on the same log so any engine change
+    surfaces. Also proves state-store session merging: the events of
+    user 1's single session arrive across different micro-batch waves
+    (event_id parity split) yet emit as ONE row."""
+    from phphinder_spark.streaming.replay import (
+        replay_session_stats,
+        stage_event_batches,
+    )
+
+    rows = [
+        _ev(0, 1, 0.0),
+        _ev(1, 1, 20.0),   # same session either way (20 < 30)
+        _ev(2, 1, 50.0),   # gap EXACTLY 30 min: both engines keep it
+        _ev(3, 2, 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    # batch rule: delta > gap — the 30-min gap stays in session 1
+    batch = {r.user_id: r.session_seq for r in sessionize(ev).collect()
+             if r.user_id == 1}
+    assert set(batch.values()) == {1}
+
+    out = str(tmp_path / "waves")
+    sch = stage_event_batches(spark, ev, out, n_batches=2)
+    got = sorted(
+        (r.user_id, r.n_events, r.total_value)
+        for r in replay_session_stats(spark, out, sch).collect()
+    )
+    # same boundary as batch: the exact-30-min event merges -> user 1
+    # has ONE session of 3 events, assembled from both waves
+    assert got == [(1, 3, 3.0), (2, 1, 1.0)]
+
+
 def test_split_leakage(spark):
     df = spark.createDataFrame(
         [
