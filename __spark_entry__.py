@@ -999,6 +999,85 @@ def _q_stream_perplexity(spark, sf_dir):
     return replay_perplexity(spark, d, sch, model)
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic crawl-frontier URLs from doc_id (no external data).
+    The CANONICAL identity is a pure function of ``g = doc_id % 101``
+    (scheme kind, www-or-not, site number, explicit :8080 port, path,
+    whether params exist) — so ~5 docs per group share a canonical URL
+    at sf0.01, planting REAL first-seen dedup work. The DENORMALIZATION
+    noise varies with doc_id itself: scheme/host case, an explicit
+    DEFAULT port, parameter order, a utm_ tracking param, a trailing
+    slash, a fragment — exactly the set normalize_urls must collapse."""
+    d = F.col("doc_id")
+    g = d % 101
+
+    def s(c):
+        return c.cast("string")
+
+    https = g % 3 == 0
+    url = F.concat(
+        # scheme kind by g; CASE by d
+        F.when(
+            d % 2 == 0,
+            F.when(https, F.lit("HTTPS")).otherwise(F.lit("HTTP")),
+        ).otherwise(F.when(https, F.lit("https")).otherwise(F.lit("http"))),
+        F.lit("://"),
+        # www-or-not by g (it changes the canonical host); case by d
+        F.when(
+            g % 2 == 0,
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        s(g % 17),
+        F.when(
+            d % 3 == 0, F.lit(".Example.COM")
+        ).otherwise(F.lit(".example.com")),
+        # explicit DEFAULT port (stripped) by d; real :8080 port by g
+        F.when(g % 7 == 0, F.lit(":8080")).otherwise(
+            F.when(
+                d % 5 == 0,
+                F.when(https, F.lit(":443")).otherwise(F.lit(":80")),
+            ).otherwise(F.lit(""))
+        ),
+        F.lit("/p/"),
+        s(g),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        # params exist by g; order + tracking junk by d
+        F.when(
+            g % 4 < 2,
+            F.concat(
+                F.when(d % 2 == 0, F.lit("?a=1&b=2")).otherwise(
+                    F.lit("?b=2&a=1")
+                ),
+                F.when(
+                    d % 3 == 1, F.concat(F.lit("&utm_source=u"), s(d))
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit("#f"), s(d))).otherwise(F.lit("")),
+    )
+    return _documents(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL-level crawl dedup (ops/web.url_dedup): canonicalize the
+    synthesized frontier, keep the smallest doc_id per canonical URL.
+    The oracle mirrors both the URL construction and every
+    normalization rule in SQL, so the full canonical string is
+    value-certified per row."""
+    from phphinder_spark.ops.web import url_dedup
+
+    return url_dedup(_synth_urls(spark, sf_dir))
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-host frontier profile (ops/web.domain_stats): rows vs
+    distinct canonical URLs per host."""
+    from phphinder_spark.ops.web import domain_stats
+
+    return domain_stats(_synth_urls(spark, sf_dir))
+
+
 _EVENT_STAGED: dict[str, tuple] = {}
 
 
@@ -1086,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_windows": _q_events_windows,
         "stream_sessions_replay": _q_stream_sessions,
+        "web_url_dedup": _q_url_dedup,
+        "web_domain_stats": _q_domain_stats,
         # --- previously-certified core (r6-green)
         "search_term": _q_term,
         "search_and": _q_and,
@@ -2479,6 +2560,148 @@ SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
        round((max(us) - min(us)) / 1e6, 6) AS duration_s,
        round(sum(value), 6) AS total_value
 FROM t GROUP BY user_id, session_seq
+""",
+        # URL canonicalization + first-seen dedup over the synthesized
+        # frontier: every normalization rule mirrored in SQL (scheme/
+        # host lowercase, default-port strip, fragment drop, tracking-
+        # param filter + byte-sort, trailing-slash collapse)
+        "web_url_dedup": r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN
+       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+     ELSE
+       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'https' ELSE 'http' END)
+     END) || '://'
+    || (CASE WHEN (doc_id % 101) % 2 = 0 THEN
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END)
+    || CAST((doc_id % 101) % 17 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
+        ELSE '.example.com' END)
+    || (CASE WHEN (doc_id % 101) % 7 = 0 THEN ':8080'
+        WHEN doc_id % 5 = 0 THEN
+          (CASE WHEN (doc_id % 101) % 3 = 0 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+    || '/p/' || CAST(doc_id % 101 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN (doc_id % 101) % 4 < 2 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END)
+          || (CASE WHEN doc_id % 3 = 1 THEN
+                '&utm_source=u' || CAST(doc_id AS VARCHAR) ELSE '' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#f' || CAST(doc_id AS VARCHAR)
+        ELSE '' END) AS url
+  FROM documents
+), p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+      AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+      AS auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM raw
+), q AS (
+  SELECT doc_id, scheme,
+    lower(regexp_replace(auth, ':\d+$', '')) AS host,
+    regexp_extract(auth, ':(\d+)$', 1) AS port,
+    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(rawpath, '/+$', '') END AS path_norm,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(query, '&'),
+      x -> len(x) > 0
+        AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
+        AND regexp_extract(x, '^([^=]*)', 1)
+            NOT IN ('fbclid', 'gclid', 'msclkid', 'ref'))), '&'), '')
+      AS qnorm
+  FROM p
+), n AS (
+  SELECT doc_id,
+    scheme || '://' || host
+    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443') THEN ''
+        ELSE ':' || port END)
+    || path_norm
+    || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) AS url_norm,
+    (scheme <> '' AND host <> '') AS valid
+  FROM q
+), k AS (
+  SELECT url_norm, min(doc_id) AS keeper FROM n WHERE valid GROUP BY 1
+)
+SELECT n.doc_id, n.url_norm,
+       (n.valid AND n.doc_id = k.keeper) AS keep
+FROM n LEFT JOIN k USING (url_norm)
+""",
+        "web_domain_stats": r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN
+       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+     ELSE
+       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'https' ELSE 'http' END)
+     END) || '://'
+    || (CASE WHEN (doc_id % 101) % 2 = 0 THEN
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END)
+    || CAST((doc_id % 101) % 17 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
+        ELSE '.example.com' END)
+    || (CASE WHEN (doc_id % 101) % 7 = 0 THEN ':8080'
+        WHEN doc_id % 5 = 0 THEN
+          (CASE WHEN (doc_id % 101) % 3 = 0 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+    || '/p/' || CAST(doc_id % 101 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN (doc_id % 101) % 4 < 2 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END)
+          || (CASE WHEN doc_id % 3 = 1 THEN
+                '&utm_source=u' || CAST(doc_id AS VARCHAR) ELSE '' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#f' || CAST(doc_id AS VARCHAR)
+        ELSE '' END) AS url
+  FROM documents
+), p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+      AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+      AS auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM raw
+), q AS (
+  SELECT doc_id, scheme,
+    lower(regexp_replace(auth, ':\d+$', '')) AS host,
+    regexp_extract(auth, ':(\d+)$', 1) AS port,
+    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(rawpath, '/+$', '') END AS path_norm,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(query, '&'),
+      x -> len(x) > 0
+        AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
+        AND regexp_extract(x, '^([^=]*)', 1)
+            NOT IN ('fbclid', 'gclid', 'msclkid', 'ref'))), '&'), '')
+      AS qnorm
+  FROM p
+), n AS (
+  SELECT doc_id, host,
+    scheme || '://' || host
+    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443') THEN ''
+        ELSE ':' || port END)
+    || path_norm
+    || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) AS url_norm
+  FROM q
+  WHERE scheme <> '' AND host <> ''
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls
+FROM n GROUP BY host
 """,
         # streaming session_window replay: boundary rule pinned by test
         # as identical to batch sessionize (a gap exactly equal to the

@@ -117,7 +117,8 @@ def main() -> None:
                  "sample_splits", "corpus_divergence",
                  "pipeline_ingest", "text_bpe_merges",
                  "dedup_split_leakage", "text_code_quality",
-                 "events_sessions", "events_windows"):
+                 "events_sessions", "events_windows",
+                 "web_url_dedup", "web_domain_stats"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -1,0 +1,162 @@
+"""Web-crawl ingest primitives: URL canonicalization and URL-level dedup.
+
+The first dedup pass of a crawl pipeline is not content-based at all —
+it is URL-level: the same page is fetched under syntactically different
+URLs (scheme/host case, default ports, tracking parameters, parameter
+order, trailing slashes, fragments), and canonicalizing before fetch /
+before content dedup removes the bulk of exact refetches for free.
+
+``normalize_urls`` implements the standard canonicalization rules as
+pure JVM column expressions (regexp parses + higher-order array ops —
+zero shuffles, zero Python, one map-side projection):
+
+- scheme and host lowercased; userinfo is NOT handled (rare in crawl
+  frontiers; rows keep it verbatim in the host and can be filtered on
+  ``valid``);
+- default ports stripped (``http:80``, ``https:443``), other explicit
+  ports kept;
+- fragment dropped (never sent to the server);
+- query parameters: empties and tracking parameters dropped (entries of
+  ``strip_params`` ending in ``_`` match as key PREFIXES, e.g.
+  ``utm_``; the rest match keys exactly), the survivors sorted
+  byte-lexicographically so parameter order stops mattering;
+- path: empty becomes ``/``; trailing slashes stripped except the root.
+
+Deliberately NOT done (they change fetch semantics or need network):
+IDN/punycode folding, percent-encoding normalization beyond case,
+relative resolution, robots/canonical-tag awareness.
+
+``url_dedup`` then keeps the smallest ``id_col`` per canonical URL —
+the deterministic first-seen rule every incremental crawler uses.
+
+Scale: normalization is map-only; dedup is one combining groupBy on the
+canonical string + an AQE-splittable join back (hot canonical URLs —
+link-farm targets — split under AQE skew handling; nothing ever
+shuffles page CONTENT, only URLs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+DEFAULT_STRIP_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref")
+
+
+def _param_key(x: Column) -> Column:
+    return F.regexp_extract(x, "^([^=]*)", 1)
+
+
+def normalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_params: tuple[str, ...] = DEFAULT_STRIP_PARAMS,
+) -> DataFrame:
+    """Canonicalize ``url_col`` per the module rules.
+
+    Returns ``(id_col, host, url_norm, valid)``: ``host`` is the
+    lowercased hostname (no port), ``url_norm`` the canonical URL
+    (NULL when invalid), ``valid`` false when the value has no
+    ``scheme://host`` shape (relative references, garbage, NULL)."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    host = F.lower(F.regexp_replace(auth, r":\d+$", ""))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    raw_path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+
+    def keep(x: Column) -> Column:
+        cond = x != ""
+        key = _param_key(x)
+        for s in strip_params:
+            if s.endswith("_"):
+                cond = cond & ~key.startswith(F.lit(s))
+            else:
+                cond = cond & (key != F.lit(s))
+        return cond
+
+    qnorm = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), keep)), "&"
+    )
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    stripped = F.regexp_replace(raw_path, "/+$", "")
+    path_norm = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    valid = u.isNotNull() & (scheme != "") & (host != "")
+    url_norm = F.when(
+        valid,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port_part,
+            path_norm,
+            F.when(qnorm == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), qnorm)
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(valid, host).alias("host"),
+        url_norm.alias("url_norm"),
+        valid.alias("valid"),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_params: tuple[str, ...] = DEFAULT_STRIP_PARAMS,
+) -> DataFrame:
+    """URL-level dedup: first-seen (smallest ``id_col``) row per
+    canonical URL is the keeper. Invalid URLs are never keepers and
+    never suppress anything (``keep`` false, NULL canonical).
+
+    Returns ``(id_col, url_norm, keep)``."""
+    norm = normalize_urls(df, url_col, id_col, strip_params)
+    keepers = (
+        norm.where("valid")
+        .groupBy("url_norm")
+        .agg(F.min(id_col).alias("_keeper"))
+    )
+    return (
+        norm.join(keepers, "url_norm", "left")
+        .select(
+            id_col,
+            "url_norm",
+            (F.col("valid") & (F.col(id_col) == F.col("_keeper"))).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_params: tuple[str, ...] = DEFAULT_STRIP_PARAMS,
+) -> DataFrame:
+    """Per-host crawl frontier profile: total rows and distinct
+    canonical URLs (the refetch ratio is ``n_docs / n_urls``). One
+    combining aggregate on host; the distinct runs as the standard
+    two-phase partial-distinct plan. Invalid rows are excluded.
+
+    Returns ``(host, n_docs, n_urls)``."""
+    norm = normalize_urls(df, url_col, id_col, strip_params).where("valid")
+    return norm.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("url_norm")).alias("n_urls"),
+    )
