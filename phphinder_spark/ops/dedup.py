@@ -1335,6 +1335,10 @@ def split_leakage(
     Returns one row per leaked eval doc: ``(id_col, split_col,
     n_train_copies)`` — how many train rows share its exact text.
 
+    NULL contract: rows with NULL text are never flagged and never
+    match anything (``sha2(NULL)`` is NULL and NULL join keys don't
+    match — two undefined texts are not "identical"), on either side.
+
     Scale: both sides reduce to ``sha2(text)`` 32-byte keys map-side;
     the train side pre-aggregates to (hash, count) — a combining
     groupBy, so the join's build side is |distinct train texts|, never

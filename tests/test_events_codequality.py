@@ -179,6 +179,8 @@ def test_split_leakage(spark):
             (5, "train", "gamma"),
             (6, "test", "gamma"),    # leaked, 1 train copy
             (7, "test", "delta"),    # unique to test
+            (8, "train", None),      # NULL text: matches nothing
+            (9, "test", None),       # NULL text: never flagged
         ],
         "doc_id long, split string, text string",
     )
