@@ -906,6 +906,19 @@ def _q_events_sessions(spark, sf_dir):
     return session_stats(_events(spark, sf_dir), gap_minutes=30.0)
 
 
+def _q_events_sessions_hot(spark, sf_dir):
+    """The hot-key-safe bucketed sessionization (ops/events.sessionize
+    with hot_bucket_minutes): partitions by (user, 2h time bucket) and
+    stitches sessions across bucket edges with a per-user summary scan.
+    EXACTLY equivalent to the plain form, so it shares events_sessions'
+    oracle SQL — the driver row value-certifies the stitch."""
+    from phphinder_spark.ops.events import session_stats
+
+    return session_stats(
+        _events(spark, sf_dir), gap_minutes=30.0, hot_bucket_minutes=120.0
+    )
+
+
 def _q_events_windows(spark, sf_dir):
     """Tumbling 60-min window rollup per event_type
     (ops/events.window_counts) — integer bucket ids, map-side + one
@@ -1163,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_split_leakage": _q_split_leakage,
         "text_code_quality": _q_code_quality,
         "events_sessions": _q_events_sessions,
+        "events_sessions_hot": _q_events_sessions_hot,
         "events_windows": _q_events_windows,
         "stream_sessions_replay": _q_stream_sessions,
         "web_url_dedup": _q_url_dedup,
@@ -1934,7 +1948,7 @@ SELECT doc_id, score FROM (
 ) ORDER BY score DESC, doc_id LIMIT 20
 """.format(raw=raw_toks, map=stem_map, terms=stem_terms)
 
-    return {
+    oracles = {
         "ann_srp": ann_srp,
         "ann_ivf": ann_ivf,
         "ann_ivf_trained": ann_ivf_trained,
@@ -2754,3 +2768,7 @@ FROM events GROUP BY 1, 2
             "FROM documents GROUP BY 1, 2"
         ),
     }
+    # the bucketed (hot-key-safe) sessionization is EXACTLY equivalent
+    # to the plain form, so it certifies against the same SQL
+    oracles["events_sessions_hot"] = oracles["events_sessions"]
+    return oracles

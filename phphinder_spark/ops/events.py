@@ -23,13 +23,11 @@ Scale notes (100 TB):
 - The sessionize window partitions by ``user_id`` — per-key state is
   one row (the previous timestamp + running count), and keys are
   independent, so the op distributes across however many users the log
-  has. The inherent limit is a single HOT key: one user's events must
-  be time-sorted in one task (sessionization is a per-user monotone
-  scan; that is the semantics, not an implementation choice). For logs
-  where one synthetic key (e.g. a bot account) dominates, pre-split
-  that key on coarse time buckets and stitch at bucket boundaries —
-  left out here because it changes results for sessions that straddle
-  a bucket edge, which callers must opt into consciously.
+  has. The default plan's limit is a single HOT key: one user's events
+  time-sort in one task. ``hot_bucket_minutes`` removes it EXACTLY —
+  partition by (user, time bucket), then stitch sessions across bucket
+  edges with a per-user bucket-summary prefix scan (equivalence-tested
+  identical to the default plan, straddling sessions included).
 - All timestamp arithmetic is INTEGER microseconds (``unix_micros`` /
   DuckDB ``epoch_us``) — exact, overflow-safe until year ~294k, and
   bit-identical across engines, unlike double epoch seconds which
@@ -73,6 +71,7 @@ def sessionize(
     id_col: str = "event_id",
     gap_minutes: float = 30.0,
     session_col: str = "session_seq",
+    hot_bucket_minutes: float | None = None,
 ) -> DataFrame:
     """Assign a per-user session sequence number (1-based) to every
     event: a new session starts at the user's first event and whenever
@@ -86,8 +85,26 @@ def sessionize(
     One shuffle (hash by ``user_col``), one sort, two stacked window
     frames over the same partitioning — Catalyst plans a single Window
     operator pair with no extra exchange.
+
+    ``hot_bucket_minutes`` switches to the HOT-KEY-SAFE form: the
+    default plan must time-sort each user's events in ONE task, so a
+    single dominating key (a bot account with billions of events)
+    serializes. The bucketed form partitions by (user, time bucket) —
+    max task size drops from events-per-user to events-per-(user,
+    bucket) — and stitches sessions across bucket edges EXACTLY via a
+    per-user bucket-summary scan (the same distributed-prefix-scan
+    shape as ops/packing.pack_sequences): result is equivalence-tested
+    identical to the default plan, including exact-gap boundaries that
+    straddle a bucket edge. Costs one extra (tiny) summary window and
+    one join vs the default, so keep it for logs where hot keys are
+    real; width tuning only moves the constant, any width is exact.
     """
     gap_us = int(round(gap_minutes * MICROS_PER_MIN))
+    if hot_bucket_minutes is not None:
+        return _sessionize_bucketed(
+            df, user_col, ts_col, id_col, gap_us,
+            int(round(hot_bucket_minutes * MICROS_PER_MIN)), session_col,
+        )
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev = F.lag(_micros(df, ts_col)).over(w)
     # Spark forbids nesting one window function inside another, so the
@@ -106,6 +123,88 @@ def sessionize(
     ).drop("_new_session")
 
 
+def _sessionize_bucketed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int,
+    width_us: int,
+    session_col: str,
+) -> DataFrame:
+    """Exact segmented-scan sessionization (see :func:`sessionize`).
+
+    Phase 1 — per (user, bucket), in parallel across buckets: local
+    lag-gap flags where the bucket's FIRST event is tentatively flagged
+    as a new session (``_s_local`` = local running count, 1-based).
+
+    Phase 2 — per user over its NON-EMPTY bucket summaries (a frame of
+    |users| x |occupied buckets| rows, each a 4-field aggregate): lag
+    over bucket order gives the previous occupied bucket's last
+    timestamp, deciding whether each bucket's first event REALLY starts
+    a session (``_f``), and a cumulative sum gives ``_base``, the
+    number of sessions closed before the bucket. Empty buckets need no
+    handling: the lag simply reaches back to the previous occupied one.
+
+    Final seq = ``_base + _s_local - (1 - _f)`` — if the first local
+    session continues the previous bucket's last session, every event
+    of that local session shifts down by one.
+
+    Ties at a bucket edge cannot split ordering: the bucket is a pure
+    function of the timestamp, so equal timestamps share a bucket and
+    the (ts, id) order within (user, bucket) equals the global order.
+    """
+    us = _micros(df, ts_col)
+    d = df.withColumn("_us", us).withColumn(
+        "_bkt", (F.col("_us") - F.col("_us") % F.lit(width_us))
+    )
+    w = Window.partitionBy(user_col, "_bkt").orderBy("_us", id_col)
+    prev = F.lag("_us").over(w)
+    flagged = d.withColumn(
+        "_flag",
+        F.when(
+            prev.isNull() | (F.col("_us") - prev > F.lit(gap_us)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = flagged.withColumn("_s_local", F.sum("_flag").over(run))
+    summary = local.groupBy(user_col, "_bkt").agg(
+        F.min("_us").alias("_first_us"),
+        F.max("_us").alias("_last_us"),
+        F.sum("_flag").alias("_n"),
+    )
+    wb = Window.partitionBy(user_col).orderBy("_bkt")
+    prev_last = F.lag("_last_us").over(wb)
+    sm = summary.withColumn(
+        "_f",
+        F.when(
+            prev_last.isNull()
+            | (F.col("_first_us") - prev_last > F.lit(gap_us)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    base_frame = wb.rowsBetween(Window.unboundedPreceding, -1)
+    adj = sm.withColumn(
+        "_base",
+        F.coalesce(
+            F.sum(F.col("_n") - (F.lit(1) - F.col("_f"))).over(base_frame),
+            F.lit(0),
+        ),
+    ).select(user_col, "_bkt", "_f", "_base")
+    return (
+        local.join(adj, [user_col, "_bkt"])
+        .withColumn(
+            session_col,
+            (
+                F.col("_base")
+                + F.col("_s_local")
+                - (F.lit(1) - F.col("_f"))
+            ).cast("long"),
+        )
+        .drop("_us", "_bkt", "_flag", "_s_local", "_f", "_base")
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",
@@ -113,10 +212,13 @@ def session_stats(
     id_col: str = "event_id",
     gap_minutes: float = 30.0,
     value_col: str = "value",
+    hot_bucket_minutes: float | None = None,
 ) -> DataFrame:
     """Per-session rollup over :func:`sessionize`: event count, span in
     seconds (exact micros arithmetic, reported as ``round(us / 1e6,
-    6)``), and the summed ``value_col``.
+    6)``), and the summed ``value_col``. ``hot_bucket_minutes`` passes
+    through to :func:`sessionize` (hot-key-safe form, identical
+    results).
 
     Output: ``(user_col, session_seq, n_events, duration_s,
     total_value)`` — one combining groupBy on top of the sessionize
@@ -124,7 +226,10 @@ def session_stats(
     window's partition key), AQE usually folds the aggregate into the
     post-window stage without a second exchange.
     """
-    s = sessionize(df, user_col, ts_col, id_col, gap_minutes)
+    s = sessionize(
+        df, user_col, ts_col, id_col, gap_minutes,
+        hot_bucket_minutes=hot_bucket_minutes,
+    )
     return s.groupBy(user_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(

@@ -130,6 +130,90 @@ def test_window_counts_plan_no_window_no_join(events):
     assert "Window" not in plan and "Join" not in plan, plan
 
 
+def test_sessionize_bucketed_equivalence_random(spark):
+    """The hot-key-safe bucketed form must assign IDENTICAL session
+    numbers to every event, for any bucket width — including widths
+    smaller than the gap and events straddling bucket edges. The log is
+    a deterministic pseudo-random mix: hashes give irregular gaps, two
+    hot users own most events, ties included."""
+    rows = []
+    eid = 0
+    for user in range(1, 6):
+        n = 200 if user <= 2 else 25  # users 1-2 are hot
+        for i in range(n):
+            mins = (i * 7919 + user * 104729) % 5000 / 3.7
+            rows.append(_ev(eid, user, mins))
+            eid += 1
+    rows.append((eid, rows[5][1], 1, "click", 1.0))  # a tie timestamp
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    want = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(ev, gap_minutes=30.0).collect()
+    }
+    for width in (1.0, 7.3, 30.0, 60.0, 1e6):
+        got = {
+            (r.user_id, r.event_id): r.session_seq
+            for r in sessionize(
+                ev, gap_minutes=30.0, hot_bucket_minutes=width
+            ).collect()
+        }
+        assert got == want, f"width={width}"
+
+
+def test_sessionize_bucketed_exact_gap_at_bucket_edge(spark):
+    """A gap EXACTLY equal to the threshold whose two events sit in
+    different buckets must still merge (the stitch uses the same > rule
+    as the local flags), and a gap one microsecond longer must split."""
+    t_edge = 60.0  # minutes; bucket width 30 -> events in buckets 1 and 3
+    rows = [
+        _ev(0, 1, t_edge - 30.0),   # last event of bucket 1
+        _ev(1, 1, t_edge),          # first of bucket 2: gap == 30 min
+        _ev(2, 2, t_edge - 30.0),
+        (3, T0 + dt.timedelta(minutes=t_edge, microseconds=1), 2,
+         "click", 1.0),             # gap == 30 min + 1 us
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(
+            ev, gap_minutes=30.0, hot_bucket_minutes=30.0
+        ).collect()
+    }
+    assert got == {(1, 0): 1, (1, 1): 1, (2, 2): 1, (2, 3): 2}
+
+
+def test_session_stats_bucketed_equivalence(events):
+    plain = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s, r.total_value)
+        for r in session_stats(events, gap_minutes=30.0).collect()
+    }
+    bucketed = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s, r.total_value)
+        for r in session_stats(
+            events, gap_minutes=30.0, hot_bucket_minutes=20.0
+        ).collect()
+    }
+    assert plain == bucketed
+
+
+def test_sessionize_bucketed_plan_partitions_by_bucket(events):
+    """The expensive (corpus-scale) window must hash by (user, bucket),
+    not by user alone — the point of the hot-key-safe form."""
+    plan = (
+        sessionize(events, hot_bucket_minutes=30.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(user_id" in plan and "_bkt" in plan, plan
+
+
 def test_stream_sessions_boundary_vs_batch(spark, tmp_path):
     """Spark's native session_window MERGES an event whose gap exactly
     equals the threshold (engine-verified here: merge while next <=
