@@ -1091,6 +1091,35 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(_synth_urls(spark, sf_dir))
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Strict ordered view -> click -> commit funnel over the events
+    log (ops/events.funnel): greedy-earliest matching, strictly-after
+    chaining; the oracle is the same min-after join chain in SQL."""
+    from phphinder_spark.ops.events import funnel
+
+    return funnel(_events(spark, sf_dir), ["view", "click", "commit"])
+
+
+def _q_events_retention(spark, sf_dir):
+    """Daily cohort retention matrix (ops/events.retention_cohorts):
+    users cohorted by first-event day, distinct actives per (cohort,
+    day offset)."""
+    from phphinder_spark.ops.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), cohort_minutes=1440.0)
+
+
+def _q_events_sliding(spark, sf_dir):
+    """Sliding 120-min/30-min hop rollup per event_type
+    (ops/events.sliding_window_counts): map-side explode of the 4
+    covering window starts + one combining aggregate."""
+    from phphinder_spark.ops.events import sliding_window_counts
+
+    return sliding_window_counts(
+        _events(spark, sf_dir), window_minutes=120.0, slide_minutes=30.0
+    )
+
+
 _EVENT_STAGED: dict[str, tuple] = {}
 
 
@@ -1178,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_sessions_hot": _q_events_sessions_hot,
         "events_windows": _q_events_windows,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_sliding": _q_events_sliding,
         "stream_sessions_replay": _q_stream_sessions,
         "web_url_dedup": _q_url_dedup,
         "web_domain_stats": _q_domain_stats,
@@ -2738,6 +2770,58 @@ SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS total_value
 FROM t GROUP BY user_id, seq
+""",
+        # strict ordered funnel: per-step min-after join chain; a step
+        # only attempted for users who completed the previous one
+        "events_funnel": """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, event_type AS ty FROM events
+), t1 AS (
+  SELECT u, min(us) AS t1 FROM e WHERE ty = 'view' GROUP BY u
+), t2 AS (
+  SELECT u, min(us) AS t2 FROM e JOIN t1 USING (u)
+  WHERE ty = 'click' AND us > t1 GROUP BY u
+), t3 AS (
+  SELECT u, min(us) AS t3 FROM e JOIN t2 USING (u)
+  WHERE ty = 'commit' AND us > t2 GROUP BY u
+)
+SELECT t1.u AS user_id,
+  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+            WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+    AS steps_completed,
+  CAST(t1.t1 AS BIGINT) AS first_step_us,
+  CAST(coalesce(t3.t3, t2.t2, t1.t1) AS BIGINT) AS last_step_us
+FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u
+""",
+        # daily cohorts by first-event day; distinct actives per
+        # (cohort, day offset) — all-integer bucket arithmetic
+        "events_retention": """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS us FROM events
+), f AS (
+  SELECT u, min(us) AS fus FROM e GROUP BY u
+)
+SELECT CAST(fus - fus % 86400000000 AS BIGINT) AS cohort_start_us,
+       CAST(((us - us % 86400000000)
+             - (fus - fus % 86400000000)) // 86400000000 AS BIGINT)
+         AS period_offset,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM e JOIN f USING (u) GROUP BY 1, 2
+""",
+        # sliding 120/30 windows: each event unnests to its 4 covering
+        # slide-aligned starts, then one combining aggregate
+        "events_sliding": """
+SELECT CAST(s AS BIGINT) AS window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM (
+  SELECT unnest(generate_series(lastb - CAST(5400000000 AS BIGINT),
+                                lastb, CAST(1800000000 AS BIGINT))) AS s,
+         event_type, value
+  FROM (SELECT epoch_us(ts) - epoch_us(ts) % 1800000000 AS lastb,
+               event_type, value FROM events)
+)
+GROUP BY 1, 2
 """,
         # tumbling 60-min buckets as integer epoch-microsecond floors
         "events_windows": """

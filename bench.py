@@ -118,7 +118,9 @@ def main() -> None:
                  "pipeline_ingest", "text_bpe_merges",
                  "dedup_split_leakage", "text_code_quality",
                  "events_sessions", "events_windows",
-                 "web_url_dedup", "web_domain_stats"):
+                 "web_url_dedup", "web_domain_stats",
+                 "events_sessions_hot", "events_funnel",
+                 "events_retention", "events_sliding"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

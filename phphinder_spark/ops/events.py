@@ -239,6 +239,154 @@ def session_stats(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict ordered funnel: for each user, how far through ``steps``
+    they progressed, where step k+1 must occur STRICTLY after the
+    matched step-k event (same-microsecond events do not chain).
+    Matching is greedy-earliest — t1 = the user's first step-1 event,
+    t_{k+1} = their first step-{k+1} event after t_k — which is EXACT
+    for unwindowed completion semantics (induction: any completing
+    sequence has its step-k event no earlier than the greedy t_k, so
+    greedy never misses a completion). A within-T-of-anchor windowed
+    funnel is deliberately NOT offered by this op: greedy-earliest is
+    incomplete for it (a later anchor can succeed where the earliest
+    fails), and the exact form needs per-anchor search — a different,
+    quadratic-ish operator callers must choose consciously.
+
+    Output: one row per user with >= 1 step-1 event:
+    ``(user_col, steps_completed, first_step_us, last_step_us)`` —
+    ``last_step_us`` is the matched time of the deepest step reached.
+
+    Scale: one combining min-aggregate per step over that step's
+    events, chained by per-user joins — the left side is always the
+    per-user frame (|users| rows); no windows, no per-user sort, so a
+    hot user costs nothing extra (aggregates combine map-side)."""
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    us = _micros(df, ts_col)
+    ev = df.select(F.col(user_col).alias("_u"), us.alias("_us"),
+                   F.col(type_col).alias("_ty"))
+    cur = (
+        ev.where(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_t1"))
+    )
+    result = cur.select(
+        "_u", F.lit(1).alias("_n"), F.col("_t1"), F.col("_t1").alias("_tk")
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            result.where(F.col("_n") == k - 1)
+            .join(ev.where(F.col("_ty") == step), "_u")
+            .where(F.col("_us") > F.col("_tk"))
+            .groupBy("_u")
+            .agg(F.min("_us").alias("_tn"))
+        )
+        result = (
+            result.join(nxt, "_u", "left")
+            .select(
+                "_u",
+                F.when(F.col("_tn").isNotNull(), F.lit(k))
+                .otherwise(F.col("_n"))
+                .alias("_n"),
+                "_t1",
+                F.coalesce("_tn", "_tk").alias("_tk"),
+            )
+        )
+    return result.select(
+        F.col("_u").alias(user_col),
+        F.col("_n").cast("long").alias("steps_completed"),
+        F.col("_t1").alias("first_step_us"),
+        F.col("_tk").alias("last_step_us"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cohort_minutes: float = 1440.0,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the tumbling
+    bucket of their FIRST event; each (cohort, offset) cell counts the
+    distinct cohort users active in the bucket ``offset`` periods after
+    their cohort bucket (offset 0 = the cohort period itself).
+
+    Output: ``(cohort_start_us, period_offset, n_users)``.
+
+    Scale: one combining min-per-user aggregate, one user-keyed join
+    back (AQE-splittable; the per-user frame is |users| rows), one
+    two-phase distinct aggregate. No windows."""
+    width_us = int(round(cohort_minutes * MICROS_PER_MIN))
+    us = _micros(df, ts_col)
+    ev = df.select(F.col(user_col).alias("_u"), us.alias("_us"))
+    first = ev.groupBy("_u").agg(F.min("_us").alias("_first_us"))
+    cohort = (
+        F.col("_first_us") - F.col("_first_us") % F.lit(width_us)
+    ).alias("cohort_start_us")
+    bucket = F.col("_us") - F.col("_us") % F.lit(width_us)
+    return (
+        ev.join(first, "_u")
+        .select(
+            "_u",
+            cohort,
+            ((bucket - (F.col("_first_us")
+                        - F.col("_first_us") % F.lit(width_us)))
+             / F.lit(width_us)).cast("long").alias("period_offset"),
+        )
+        .groupBy("cohort_start_us", "period_offset")
+        .agg(F.count_distinct(F.col("_u")).alias("n_users"))
+    )
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_minutes: float = 60.0,
+    slide_minutes: float = 15.0,
+    by: str | None = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) window rollup: every event lands in the
+    ``window/slide`` overlapping windows that cover it (starts aligned
+    to the slide, epoch-anchored, integer micros — the batch analogue
+    of ``F.window(ts, w, s)`` kept engine-exact). ``window`` must be a
+    multiple of ``slide``.
+
+    Output: ``(window_start_us, <by>?, n_events, total_value)``.
+
+    Scale: a map-side explode of exactly k = window/slide bucket ids
+    per event + ONE combining aggregate — data volume k x input, no
+    windows, no joins; k is a literal, so Catalyst folds the sequence
+    bounds into codegen."""
+    width_us = int(round(window_minutes * MICROS_PER_MIN))
+    slide_us = int(round(slide_minutes * MICROS_PER_MIN))
+    if width_us % slide_us != 0:
+        raise ValueError("window_minutes must be a multiple of "
+                         "slide_minutes")
+    k = width_us // slide_us
+    us = _micros(df, ts_col)
+    last = us - us % F.lit(slide_us)
+    starts = F.sequence(
+        last - F.lit((k - 1) * slide_us), last, F.lit(slide_us)
+    )
+    keys = [F.explode(starts).alias("window_start_us")] + (
+        [F.col(by)] if by else []
+    )
+    exploded = df.select(*keys, F.col(value_col).alias("_v"))
+    group = ["window_start_us"] + ([by] if by else [])
+    return exploded.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("_v"), 6).alias("total_value"),
+    )
+
+
 def window_counts(
     df: DataFrame,
     ts_col: str = "ts",
