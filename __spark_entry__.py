@@ -1120,6 +1120,42 @@ def _q_events_sliding(spark, sf_dir):
     )
 
 
+_PCA_FIXTURE = "/root/repo/tests/fixtures/pca_components_8.parquet"
+
+
+def _q_emb_covariance(spark, sf_dir):
+    """Full d x d population covariance of the embeddings table via the
+    tree-aggregated moments pass (ops/linalg.covariance): one Arrow
+    pass emitting (1 + d + d^2) partial sums, one combining position
+    aggregate; the oracle recomputes every entry as
+    avg(x_i * x_j) - avg(x_i) * avg(x_j) over the pair self-join."""
+    from phphinder_spark.ops.linalg import covariance
+
+    return covariance(_embeddings(spark, sf_dir), col="embedding")
+
+
+def _q_emb_pca_project(spark, sf_dir):
+    """Map-side PCA projection (ops/linalg.pca_project) onto the
+    COMMITTED component fixture (scripts/make_pca_fixture.py — trained
+    once on sf0.01 via pca_train, pinned like the IVF centroid
+    fixture, so the entry is a pure function of (fixture, table)).
+    Long form (vec_id, k, proj) rounded to the 1e-6 grid."""
+    from phphinder_spark.ops.linalg import PCAModel, pca_project
+
+    rows = spark.read.parquet(_PCA_FIXTURE).collect()
+    mean = next(tuple(r.compv) for r in rows if r.k == -1)
+    comps = tuple(
+        tuple(r.compv) for r in sorted(
+            (r for r in rows if r.k >= 0), key=lambda r: r.k
+        )
+    )
+    model = PCAModel(
+        mean=mean, components=comps,
+        explained_variance=tuple(0.0 for _ in comps),
+    )
+    return pca_project(_embeddings(spark, sf_dir), model)
+
+
 _EVENT_STAGED: dict[str, tuple] = {}
 
 
@@ -1210,6 +1246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_sliding": _q_events_sliding,
+        "emb_covariance": _q_emb_covariance,
+        "emb_pca_project": _q_emb_pca_project,
         "stream_sessions_replay": _q_stream_sessions,
         "web_url_dedup": _q_url_dedup,
         "web_domain_stats": _q_domain_stats,
@@ -2771,6 +2809,42 @@ SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
        round(sum(value), 6) AS total_value
 FROM t GROUP BY user_id, seq
 """,
+        # d x d covariance from pairwise averages over the unnested
+        # positions (the Spark side computes G/n - mu mu^T from one
+        # moments pass — same formula, engine-exact on the 1e-6 grid)
+        "emb_covariance": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id, t.i AS i, v[t.i + 1] AS x
+  FROM e CROSS JOIN (SELECT unnest(range(64)) AS i) t
+), m AS (
+  SELECT i, avg(x) AS mu FROM c GROUP BY i
+), g AS (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+  FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
+)
+SELECT g.i, g.j, round(g.exy - ma.mu * mb.mu, 6) AS cov
+FROM g JOIN m ma ON g.i = ma.i JOIN m mb ON g.j = mb.i
+""",
+        # projection onto the committed PCA fixture: centered dot
+        # product per (vector, component), both engines on DOUBLE
+        "emb_pca_project": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), f AS (
+  SELECT k, CAST(compv AS DOUBLE[]) AS w
+  FROM read_parquet('{pca_fixture}') WHERE k >= 0
+), m AS (
+  SELECT CAST(compv AS DOUBLE[]) AS mu
+  FROM read_parquet('{pca_fixture}') WHERE k = -1
+)
+SELECT e.vec_id, f.k,
+       round(list_dot_product(
+         list_transform(range(1, 65), i -> e.v[i] - m.mu[i]), f.w), 6)
+         AS proj
+FROM e CROSS JOIN f CROSS JOIN m
+""".format(pca_fixture=_PCA_FIXTURE),
         # strict ordered funnel: per-step min-after join chain; a step
         # only attempted for users who completed the previous one
         "events_funnel": """

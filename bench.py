@@ -120,7 +120,8 @@ def main() -> None:
                  "events_sessions", "events_windows",
                  "web_url_dedup", "web_domain_stats",
                  "events_sessions_hot", "events_funnel",
-                 "events_retention", "events_sliding"):
+                 "events_retention", "events_sliding",
+                 "emb_covariance", "emb_pca_project"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -1,0 +1,113 @@
+"""Tests for ops/linalg.py (tree-aggregated moments, covariance, PCA)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from phphinder_spark.ops.linalg import (
+    PCAModel,
+    covariance,
+    pca_project,
+    pca_train,
+)
+
+D = 6
+
+
+def _rows(n, seed=7, d=D):
+    rng = np.random.RandomState(seed)
+    # anisotropic data so PCA has a meaningful axis order
+    scales = np.linspace(3.0, 0.2, d)
+    x = rng.randn(n, d) * scales + rng.randn(d)
+    return x
+
+
+@pytest.fixture()
+def emb(spark):
+    x = _rows(300)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ), x
+
+
+def test_covariance_matches_numpy(emb):
+    df, x = emb
+    got = {(r.i, r.j): r.cov for r in covariance(df).collect()}
+    want = np.cov(x, rowvar=False, ddof=0)
+    assert len(got) == D * D
+    for i in range(D):
+        for j in range(D):
+            assert got[(i, j)] == pytest.approx(want[i, j], abs=2e-6)
+
+
+def test_pca_train_matches_numpy_eigh(emb):
+    df, x = emb
+    model = pca_train(df, k=3)
+    c = np.cov(x, rowvar=False, ddof=0)
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:3]
+    for k, idx in enumerate(order):
+        ref = v[:, idx]
+        if ref[int(np.argmax(np.abs(ref)))] < 0:
+            ref = -ref
+        assert np.allclose(model.components[k], ref, atol=1e-9)
+        assert model.explained_variance[k] == pytest.approx(w[idx])
+    assert np.allclose(model.mean, x.mean(axis=0), atol=1e-9)
+    # variance-descending and orthonormal
+    ev = model.explained_variance
+    assert list(ev) == sorted(ev, reverse=True)
+    comp = np.array(model.components)
+    assert np.allclose(comp @ comp.T, np.eye(3), atol=1e-9)
+
+
+def test_pca_project_matches_numpy(emb):
+    df, x = emb
+    model = pca_train(df, k=2)
+    got = {
+        (r.vec_id, r.k): r.proj for r in pca_project(df, model).collect()
+    }
+    want = (x - x.mean(axis=0)) @ np.array(model.components).T
+    assert len(got) == 300 * 2
+    for i in range(300):
+        for k in range(2):
+            assert got[(i, k)] == pytest.approx(want[i, k], abs=2e-6)
+
+
+def test_pca_project_plan_map_only(emb):
+    df, _ = emb
+    model = PCAModel(
+        mean=tuple(0.0 for _ in range(D)),
+        components=(tuple(1.0 if i == 0 else 0.0 for i in range(D)),),
+        explained_variance=(1.0,),
+    )
+    plan = (
+        pca_project(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_moments_skip_null_and_wrong_dim(spark):
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, None),
+        (2, [3.0]),          # wrong dim: excluded by the guard filter
+        (3, [3.0, 6.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.i, r.j): r.cov for r in covariance(df, dim=2).collect()}
+    want = np.cov(np.array([[1.0, 2.0], [3.0, 6.0]]), rowvar=False, ddof=0)
+    for i in range(2):
+        for j in range(2):
+            assert got[(i, j)] == pytest.approx(want[i, j], abs=2e-6)
+
+
+def test_pca_train_k_bounds(emb):
+    df, _ = emb
+    with pytest.raises(ValueError):
+        pca_train(df, k=0)
+    with pytest.raises(ValueError):
+        pca_train(df, k=D + 1)
