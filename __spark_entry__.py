@@ -1203,6 +1203,80 @@ def _q_multimodal(spark, sf_dir):
         "media_id", "kind", "n_bytes", "sha256"
     )
 
+# Shared SQL snippets for the web_* oracles: the synthesized frontier
+# and the normalization chain are each defined ONCE so the two oracles
+# can never drift apart (they certify the same URL population + rules).
+_URL_SYNTH_SQL = r"""
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN
+       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+     ELSE
+       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'https' ELSE 'http' END)
+     END) || '://'
+    || (CASE WHEN (doc_id % 101) % 2 = 0 THEN
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END)
+    || CAST((doc_id % 101) % 17 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
+        ELSE '.example.com' END)
+    || (CASE WHEN (doc_id % 101) % 7 = 0 THEN ':8080'
+        WHEN doc_id % 5 = 0 THEN
+          (CASE WHEN (doc_id % 101) % 3 = 0 THEN ':443' ELSE ':80' END)
+        ELSE '' END)
+    || '/p/' || CAST(doc_id % 101 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN (doc_id % 101) % 4 < 2 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END)
+          || (CASE WHEN doc_id % 3 = 1 THEN
+                '&utm_source=u' || CAST(doc_id AS VARCHAR) ELSE '' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#f' || CAST(doc_id AS VARCHAR)
+        ELSE '' END) AS url
+  FROM documents
+"""
+
+# normalization CTE chain (expects a `raw(doc_id, url)` CTE): fragment
+# stripped FIRST (a '?' inside '#...' must not fabricate a query), then
+# the exact rules of ops/web.normalize_urls
+_URL_NORM_SQL = r"""p0 AS (
+  SELECT doc_id, regexp_replace(url, '#.*', '') AS u0 FROM raw
+), p AS (
+  SELECT doc_id,
+    lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+      AS scheme,
+    regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+      AS auth,
+    regexp_extract(u0,
+      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(u0, '\?([^#]*)', 1) AS query
+  FROM p0
+), q AS (
+  SELECT doc_id, scheme,
+    lower(regexp_replace(auth, ':\d+$', '')) AS host,
+    regexp_extract(auth, ':(\d+)$', 1) AS port,
+    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(rawpath, '/+$', '') END AS path_norm,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(query, '&'),
+      x -> len(x) > 0
+        AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
+        AND regexp_extract(x, '^([^=]*)', 1)
+            NOT IN ('fbclid', 'gclid', 'msclkid', 'ref'))), '&'), '')
+      AS qnorm
+  FROM p
+), n AS (
+  SELECT doc_id, host,
+    scheme || '://' || host
+    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443') THEN ''
+        ELSE ':' || port END)
+    || path_norm
+    || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) AS url_norm,
+    (scheme <> '' AND host <> '') AS valid
+  FROM q
+)"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the grading driver records the FIRST 50 entries in
@@ -2606,22 +2680,30 @@ WITH d AS (
       ELSE regexp_replace(text, '\bline\b', chr(10), 'g') END AS t
   FROM documents
 ), m AS (
+  -- NULL text -> (0, 0.0, 0.0, keep=false); empty text -> alnum 0.0:
+  -- the exact guards of ops/textstats.code_quality
   SELECT doc_id, t,
-    CAST(list_max(list_transform(string_split(t, chr(10)),
-         x -> length(x))) AS BIGINT) AS max_line,
-    round(list_sum(list_transform(string_split(t, chr(10)),
-          x -> length(x)))::DOUBLE
-          / len(string_split(t, chr(10))), 6) AS avg_line,
-    round(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
-          / length(t), 6) AS alnum_frac,
-    contains(lower(substr(t, 1, 512)), 'auto-generated')
+    CAST(CASE WHEN t IS NULL THEN 0
+      ELSE list_max(list_transform(string_split(t, chr(10)),
+           x -> length(x))) END AS BIGINT) AS max_line,
+    CASE WHEN t IS NULL THEN 0.0
+      ELSE round(list_sum(list_transform(string_split(t, chr(10)),
+           x -> length(x)))::DOUBLE
+           / len(string_split(t, chr(10))), 6) END AS avg_line,
+    CASE WHEN t IS NULL OR length(t) = 0 THEN 0.0
+      ELSE round(length(
+             regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+           / length(t), 6) END AS alnum_frac,
+    coalesce(contains(lower(substr(t, 1, 512)), 'auto-generated')
       OR contains(lower(substr(t, 1, 512)), 'autogenerated')
-      OR contains(lower(substr(t, 1, 512)), 'generated by') AS autogen
+      OR contains(lower(substr(t, 1, 512)), 'generated by'),
+      FALSE) AS autogen,
+    t IS NOT NULL AS ok
   FROM d
 )
 SELECT doc_id, max_line, avg_line, alnum_frac,
-       (max_line <= 250 AND avg_line <= 120.0 AND alnum_frac >= 0.25
-        AND NOT autogen) AS keep
+       (ok AND max_line <= 250 AND avg_line <= 120.0
+        AND alnum_frac >= 0.25 AND NOT autogen) AS keep
 FROM m
 """,
         # sessionize = lag-gap flag + running sum, both over
@@ -2649,144 +2731,24 @@ FROM t GROUP BY user_id, session_seq
         # frontier: every normalization rule mirrored in SQL (scheme/
         # host lowercase, default-port strip, fragment drop, tracking-
         # param filter + byte-sort, trailing-slash collapse)
-        "web_url_dedup": r"""
+        "web_url_dedup": """
 WITH raw AS (
-  SELECT doc_id,
-    (CASE WHEN doc_id % 2 = 0 THEN
-       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
-     ELSE
-       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'https' ELSE 'http' END)
-     END) || '://'
-    || (CASE WHEN (doc_id % 101) % 2 = 0 THEN
-          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
-        ELSE '' END)
-    || (CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END)
-    || CAST((doc_id % 101) % 17 AS VARCHAR)
-    || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
-        ELSE '.example.com' END)
-    || (CASE WHEN (doc_id % 101) % 7 = 0 THEN ':8080'
-        WHEN doc_id % 5 = 0 THEN
-          (CASE WHEN (doc_id % 101) % 3 = 0 THEN ':443' ELSE ':80' END)
-        ELSE '' END)
-    || '/p/' || CAST(doc_id % 101 AS VARCHAR)
-    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-    || (CASE WHEN (doc_id % 101) % 4 < 2 THEN
-          (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END)
-          || (CASE WHEN doc_id % 3 = 1 THEN
-                '&utm_source=u' || CAST(doc_id AS VARCHAR) ELSE '' END)
-        ELSE '' END)
-    || (CASE WHEN doc_id % 7 = 0 THEN '#f' || CAST(doc_id AS VARCHAR)
-        ELSE '' END) AS url
-  FROM documents
-), p AS (
-  SELECT doc_id,
-    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
-      AS scheme,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
-      AS auth,
-    regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
-  FROM raw
-), q AS (
-  SELECT doc_id, scheme,
-    lower(regexp_replace(auth, ':\d+$', '')) AS host,
-    regexp_extract(auth, ':(\d+)$', 1) AS port,
-    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
-         ELSE regexp_replace(rawpath, '/+$', '') END AS path_norm,
-    coalesce(array_to_string(list_sort(list_filter(
-      string_split(query, '&'),
-      x -> len(x) > 0
-        AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
-        AND regexp_extract(x, '^([^=]*)', 1)
-            NOT IN ('fbclid', 'gclid', 'msclkid', 'ref'))), '&'), '')
-      AS qnorm
-  FROM p
-), n AS (
-  SELECT doc_id,
-    scheme || '://' || host
-    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-              OR (scheme = 'https' AND port = '443') THEN ''
-        ELSE ':' || port END)
-    || path_norm
-    || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) AS url_norm,
-    (scheme <> '' AND host <> '') AS valid
-  FROM q
-), k AS (
+{synth}
+), {norm}, k AS (
   SELECT url_norm, min(doc_id) AS keeper FROM n WHERE valid GROUP BY 1
 )
 SELECT n.doc_id, n.url_norm,
        (n.valid AND n.doc_id = k.keeper) AS keep
 FROM n LEFT JOIN k USING (url_norm)
-""",
-        "web_domain_stats": r"""
+""".format(synth=_URL_SYNTH_SQL, norm=_URL_NORM_SQL),
+        "web_domain_stats": """
 WITH raw AS (
-  SELECT doc_id,
-    (CASE WHEN doc_id % 2 = 0 THEN
-       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
-     ELSE
-       (CASE WHEN (doc_id % 101) % 3 = 0 THEN 'https' ELSE 'http' END)
-     END) || '://'
-    || (CASE WHEN (doc_id % 101) % 2 = 0 THEN
-          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
-        ELSE '' END)
-    || (CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END)
-    || CAST((doc_id % 101) % 17 AS VARCHAR)
-    || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM'
-        ELSE '.example.com' END)
-    || (CASE WHEN (doc_id % 101) % 7 = 0 THEN ':8080'
-        WHEN doc_id % 5 = 0 THEN
-          (CASE WHEN (doc_id % 101) % 3 = 0 THEN ':443' ELSE ':80' END)
-        ELSE '' END)
-    || '/p/' || CAST(doc_id % 101 AS VARCHAR)
-    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-    || (CASE WHEN (doc_id % 101) % 4 < 2 THEN
-          (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END)
-          || (CASE WHEN doc_id % 3 = 1 THEN
-                '&utm_source=u' || CAST(doc_id AS VARCHAR) ELSE '' END)
-        ELSE '' END)
-    || (CASE WHEN doc_id % 7 = 0 THEN '#f' || CAST(doc_id AS VARCHAR)
-        ELSE '' END) AS url
-  FROM documents
-), p AS (
-  SELECT doc_id,
-    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
-      AS scheme,
-    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
-      AS auth,
-    regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
-  FROM raw
-), q AS (
-  SELECT doc_id, scheme,
-    lower(regexp_replace(auth, ':\d+$', '')) AS host,
-    regexp_extract(auth, ':(\d+)$', 1) AS port,
-    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
-         ELSE regexp_replace(rawpath, '/+$', '') END AS path_norm,
-    coalesce(array_to_string(list_sort(list_filter(
-      string_split(query, '&'),
-      x -> len(x) > 0
-        AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1), 'utm_')
-        AND regexp_extract(x, '^([^=]*)', 1)
-            NOT IN ('fbclid', 'gclid', 'msclkid', 'ref'))), '&'), '')
-      AS qnorm
-  FROM p
-), n AS (
-  SELECT doc_id, host,
-    scheme || '://' || host
-    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-              OR (scheme = 'https' AND port = '443') THEN ''
-        ELSE ':' || port END)
-    || path_norm
-    || (CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) AS url_norm
-  FROM q
-  WHERE scheme <> '' AND host <> ''
-)
+{synth}
+), {norm}
 SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls
-FROM n GROUP BY host
-""",
+FROM n WHERE valid GROUP BY host
+""".format(synth=_URL_SYNTH_SQL, norm=_URL_NORM_SQL),
         # streaming session_window replay: boundary rule pinned by test
         # as identical to batch sessionize (a gap exactly equal to the
         # threshold MERGES; strictly greater splits)

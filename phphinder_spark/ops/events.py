@@ -81,6 +81,9 @@ def sessionize(
     Ordering inside a user is ``(ts, id_col)`` — the id tiebreak makes
     the assignment total and deterministic when two events share a
     timestamp. Appends ``session_col`` (long) to the input columns.
+    Rows with NULL ``ts_col`` are EXCLUDED (see the in-code contract
+    note); the other reductions here need no such rule — min/avg
+    aggregates ignore NULLs identically across engines.
 
     One shuffle (hash by ``user_col``), one sort, two stacked window
     frames over the same partitioning — Catalyst plans a single Window
@@ -99,6 +102,12 @@ def sessionize(
     one join vs the default, so keep it for logs where hot keys are
     real; width tuning only moves the constant, any width is exact.
     """
+    # NULL contract: an event without a timestamp cannot be placed in
+    # any session — such rows are EXCLUDED from the output (silently
+    # keeping them would also diverge across engines: Spark windows
+    # sort NULLS FIRST, most SQL engines default NULLS LAST, shifting
+    # every subsequent session number for that user).
+    df = df.where(F.col(ts_col).isNotNull())
     gap_us = int(round(gap_minutes * MICROS_PER_MIN))
     if hot_bucket_minutes is not None:
         return _sessionize_bucketed(
@@ -327,18 +336,24 @@ def retention_cohorts(
     us = _micros(df, ts_col)
     ev = df.select(F.col(user_col).alias("_u"), us.alias("_us"))
     first = ev.groupBy("_u").agg(F.min("_us").alias("_first_us"))
-    cohort = (
-        F.col("_first_us") - F.col("_first_us") % F.lit(width_us)
-    ).alias("cohort_start_us")
+    cohort = F.col("_first_us") - F.col("_first_us") % F.lit(width_us)
     bucket = F.col("_us") - F.col("_us") % F.lit(width_us)
+    # `div` keeps the offset in pure long arithmetic (the / form routes
+    # through a double — the exact pattern window_counts' comment
+    # forbids for epoch-microsecond magnitudes)
     return (
         ev.join(first, "_u")
         .select(
             "_u",
-            cohort,
-            ((bucket - (F.col("_first_us")
-                        - F.col("_first_us") % F.lit(width_us)))
-             / F.lit(width_us)).cast("long").alias("period_offset"),
+            cohort.alias("cohort_start_us"),
+            bucket.alias("_bucket"),
+        )
+        .select(
+            "_u",
+            "cohort_start_us",
+            F.expr(
+                f"(_bucket - cohort_start_us) div {width_us}L"
+            ).alias("period_offset"),
         )
         .groupBy("cohort_start_us", "period_offset")
         .agg(F.count_distinct(F.col("_u")).alias("n_users"))

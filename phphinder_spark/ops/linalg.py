@@ -92,8 +92,26 @@ def _infer_dim(df: DataFrame, col: str) -> int:
     return int(row[0])
 
 
+def _check_coverage(df: DataFrame, col: str, dim: int, n: float,
+                    allow_mixed_dims: bool) -> None:
+    """Fail loudly when the size==dim guard excluded rows: a deviant
+    first row would otherwise make _infer_dim pick the wrong dim and
+    the statistics silently cover a tiny subset."""
+    if allow_mixed_dims:
+        return
+    total = df.where(F.col(col).isNotNull()).count()
+    if int(n) != total:
+        raise ValueError(
+            f"{total - int(n)} of {total} non-null rows do not have "
+            f"dim {dim}; pass an explicit dim= (and "
+            f"allow_mixed_dims=True to compute over the matching "
+            f"subset anyway)"
+        )
+
+
 def covariance(
-    df: DataFrame, col: str = "embedding", dim: int | None = None
+    df: DataFrame, col: str = "embedding", dim: int | None = None,
+    allow_mixed_dims: bool = False,
 ) -> DataFrame:
     """Population covariance matrix of the embedding column as a long
     DataFrame ``(i, j, cov)`` (d^2 rows, cov rounded to 1e-6 — the
@@ -103,6 +121,7 @@ def covariance(
     against it broadcast for free."""
     dim = dim or _infer_dim(df, col)
     n, s, g = _moments(df, col, dim)
+    _check_coverage(df, col, dim, n, allow_mixed_dims)
     mu = s / n
     import numpy as np
 
@@ -119,7 +138,7 @@ def covariance(
 
 def pca_train(
     df: DataFrame, col: str = "embedding", k: int = 8,
-    dim: int | None = None,
+    dim: int | None = None, allow_mixed_dims: bool = False,
 ) -> PCAModel:
     """Fit PCA: one distributed moments pass + driver-side ``eigh`` of
     the d x d covariance. Returns the top-``k`` variance-descending
@@ -131,6 +150,7 @@ def pca_train(
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}]")
     n, s, g = _moments(df, col, dim)
+    _check_coverage(df, col, dim, n, allow_mixed_dims)
     mu = s / n
     c = g / n - np.outer(mu, mu)
     w, v = np.linalg.eigh((c + c.T) / 2.0)
@@ -160,7 +180,14 @@ def pca_project(
 
     Scale: components and mean fold into LITERAL arrays — the whole
     projection is one map-side codegen projection + posexplode; no
-    Python, no shuffle, no join."""
+    Python, no shuffle, no join.
+
+    Rows whose embedding is NULL or whose length differs from the
+    model's dim are EXCLUDED — same rule as training (zip_with would
+    otherwise pad with NULLs and emit proj=NULL rows that poison
+    downstream ann/semantic-dedup joins with no signal)."""
+    dim = len(model.mean)
+    df = df.where(F.col(col).isNotNull() & (F.size(col) == dim))
     centered = F.zip_with(
         F.col(col).cast("array<double>"),
         F.array(*[F.lit(m) for m in model.mean]),

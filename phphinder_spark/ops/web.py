@@ -63,7 +63,9 @@ def normalize_urls(
     lowercased hostname (no port), ``url_norm`` the canonical URL
     (NULL when invalid), ``valid`` false when the value has no
     ``scheme://host`` shape (relative references, garbage, NULL)."""
-    u = F.col(url_col)
+    # strip the fragment FIRST: a '?' inside '#...' must not fabricate
+    # a query string (e.g. 'http://h/p#sec?x=1' has no query)
+    u = F.regexp_replace(F.col(url_col), "#.*", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     auth = F.regexp_extract(u, _AUTH_RE, 1)
     host = F.lower(F.regexp_replace(auth, r":\d+$", ""))

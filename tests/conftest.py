@@ -17,6 +17,10 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # pin the session zone so event-time goldens (epoch-us
+        # constants from naive datetimes) hold on any host timezone —
+        # also the recommended production default (ops/events._micros)
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     yield spark

@@ -90,19 +90,47 @@ def test_pca_project_plan_map_only(emb):
     assert "Exchange" not in plan and "Python" not in plan, plan
 
 
-def test_moments_skip_null_and_wrong_dim(spark):
+def test_moments_mixed_dims_strict_by_default(spark):
     rows = [
         (0, [1.0, 2.0]),
         (1, None),
-        (2, [3.0]),          # wrong dim: excluded by the guard filter
+        (2, [3.0]),          # deviant dim
         (3, [3.0, 6.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    got = {(r.i, r.j): r.cov for r in covariance(df, dim=2).collect()}
+    # default: loud failure instead of silently computing over a subset
+    with pytest.raises(ValueError, match="do not have dim 2"):
+        covariance(df, dim=2)
+    # explicit opt-in: NULLs and wrong-dim rows are excluded
+    got = {
+        (r.i, r.j): r.cov
+        for r in covariance(df, dim=2, allow_mixed_dims=True).collect()
+    }
     want = np.cov(np.array([[1.0, 2.0], [3.0, 6.0]]), rowvar=False, ddof=0)
     for i in range(2):
         for j in range(2):
             assert got[(i, j)] == pytest.approx(want[i, j], abs=2e-6)
+    # the deviant-FIRST-row trap: inferred dim would be 1 and cover a
+    # single vector — the guard turns that into an error, not a result
+    bad_first = spark.createDataFrame(
+        [(0, [9.9]), (1, [1.0, 2.0]), (2, [3.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="do not have dim 1"):
+        covariance(bad_first)
+
+
+def test_pca_project_excludes_malformed_rows(spark):
+    model = PCAModel(
+        mean=(0.0, 0.0), components=((1.0, 0.0),),
+        explained_variance=(1.0,),
+    )
+    df = spark.createDataFrame(
+        [(0, [5.0, 1.0]), (1, None), (2, [7.0]), (3, [2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.vec_id, r.k): r.proj for r in pca_project(df, model).collect()}
+    assert got == {(0, 0): 5.0, (3, 0): 2.0}  # rows 1, 2 excluded
 
 
 def test_pca_train_k_bounds(emb):

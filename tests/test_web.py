@@ -49,6 +49,22 @@ def test_normalize_empty_path_and_query_edges(spark):
     assert rows[3].url_norm == "http://h.com/p?refresh=1"
 
 
+def test_normalize_question_mark_inside_fragment(spark):
+    """A '?' that appears only inside the fragment must not fabricate a
+    query string — the fragment is stripped before query extraction."""
+    rows = _norm(
+        spark,
+        "http://h.com/p#sec?x=1",
+        "http://h.com/p",
+        "http://h.com/p?a=1#frag?b=2",
+    )
+    assert rows[0].url_norm == "http://h.com/p"
+    assert rows[0].url_norm == rows[1].url_norm  # dedup-equal
+    # a real query before the fragment survives; the fragment's '?b=2'
+    # does not leak into it
+    assert rows[2].url_norm == "http://h.com/p?a=1"
+
+
 def test_normalize_invalid_inputs(spark):
     rows = _norm(spark, "not a url", "/relative/only", "")
     for r in rows.values():
