@@ -37,7 +37,7 @@ shuffles page CONTENT, only URLs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
@@ -121,13 +121,44 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     strip_params: tuple[str, ...] = DEFAULT_STRIP_PARAMS,
+    hash_key: bool = False,
 ) -> DataFrame:
     """URL-level dedup: first-seen (smallest ``id_col``) row per
     canonical URL is the keeper. Invalid URLs are never keepers and
     never suppress anything (``keep`` false, NULL canonical).
 
-    Returns ``(id_col, url_norm, keep)``."""
+    Returns ``(id_col, url_norm, keep)``.
+
+    ``hash_key=True`` is the 100-TB form: ONE normalization pass and
+    one shuffle of ``xxhash64(url_norm)`` LONGS, with the keeper as an
+    unordered window-min per hash (invalid rows get per-row unique
+    keys so they can't pile into one NULL partition). Measured 4x at
+    20M URLs (BENCH.md) over the default, which pays the regex chain
+    twice (keeper-aggregate branch + join-back branch) and sort-merges
+    canonical STRINGS. Trades: (a) 64-bit collisions — two distinct
+    canonicals colliding share one keeper (expected colliding pairs
+    ~ n^2 / 2^65, ~3e4 at 10^12 URLs, a ~3e-8 false-drop rate that
+    URL-level dedup can absorb since content dedup runs after it);
+    (b) a single canonical URL's rows sort inside one window
+    partition, so a link-farm-grade mega-URL bounds one task by its
+    own refetch count (the default's combining groupBy handles that
+    skew better). The default stays exact and is the oracle path."""
     norm = normalize_urls(df, url_col, id_col, strip_params)
+    if hash_key:
+        k = F.when(F.col("valid"), F.xxhash64("url_norm")).otherwise(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit("invalid"))
+        )
+        w = Window.partitionBy("_k")
+        return (
+            norm.withColumn("_k", k)
+            .withColumn("_keeper", F.min(id_col).over(w))
+            .select(
+                id_col,
+                "url_norm",
+                (F.col("valid") & (F.col(id_col) == F.col("_keeper")))
+                .alias("keep"),
+            )
+        )
     keepers = (
         norm.where("valid")
         .groupBy("url_norm")

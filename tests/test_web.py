@@ -90,6 +90,28 @@ def test_url_dedup_first_seen(spark):
     assert got == {1: True, 2: False, 3: False, 4: True, 5: False}
 
 
+def test_url_dedup_hash_key_equivalence(spark):
+    rows = [
+        (i, f"http://site{i % 7}.com/p/{i % 23}"
+            + ("?utm_x=1" if i % 3 == 0 else ""))
+        for i in range(200)
+    ] + [(999, "garbage")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    plain = {(r.doc_id, r.url_norm, r.keep)
+             for r in url_dedup(df).collect()}
+    hashed = {(r.doc_id, r.url_norm, r.keep)
+              for r in url_dedup(df, hash_key=True).collect()}
+    assert plain == hashed
+    # and the hashed plan shuffles longs, not canonical strings
+    plan = (
+        url_dedup(df, hash_key=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan, plan
+
+
 def test_domain_stats(spark):
     df = spark.createDataFrame(
         [
