@@ -1156,6 +1156,64 @@ def _q_emb_pca_project(spark, sf_dir):
     return pca_project(_embeddings(spark, sf_dir), model)
 
 
+def _q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic link graph synthesized from the
+    documents table (3 out-links per non-dangling doc by modular
+    arithmetic; doc_id % 11 == 0 docs are dangling). 3 power
+    iterations on the 1e-9 grid (ops/graph.pagerank) — the oracle
+    UNROLLS the same iterations as chained SQL CTEs, so this is a
+    value-certified ITERATIVE operator, not a rows-only entry."""
+    from phphinder_spark.ops.graph import pagerank
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    targets = F.array(
+        (d * 7 + 1) % n, (d * 13 + 2) % n, (d * 3 + 5) % n
+    )
+    edges = docs.where(d % 11 != 0).select(
+        d.alias("src"), F.explode(targets).alias("dst")
+    )
+    return pagerank(edges, n_iter=3).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    head = """
+WITH base AS (
+  SELECT doc_id, (SELECT count(*) FROM documents) AS n
+  FROM documents WHERE doc_id % 11 <> 0
+), edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM base
+  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % n FROM base
+  UNION ALL SELECT doc_id, (doc_id * 3 + 5) % n FROM base
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), nn AS (SELECT count(*) AS n FROM nodes
+), deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src
+), e AS (
+  SELECT edges.src, edges.dst, deg.od FROM edges JOIN deg USING (src)
+), p0 AS (SELECT node, round(1.0 / nn.n, 9) AS pr FROM nodes, nn)"""
+    step = """, p{i} AS (
+  SELECT nodes.node,
+         round(0.15 / nn.n + 0.85 * coalesce(t.s, 0), 9) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.pr / e.od) AS s
+             FROM e JOIN p{prev} p ON p.node = e.src
+             GROUP BY e.dst) t
+    ON nodes.node = t.node
+)"""
+    body = "".join(
+        step.format(i=i, prev=i - 1) for i in range(1, n_iter + 1)
+    )
+    return (
+        head + body
+        + f"\nSELECT node, round(pr, 6) AS rank FROM p{n_iter}\n"
+    )
+
+
 _EVENT_STAGED: dict[str, tuple] = {}
 
 
@@ -1322,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_events_sliding,
         "emb_covariance": _q_emb_covariance,
         "emb_pca_project": _q_emb_pca_project,
+        "graph_pagerank": _q_pagerank,
         "stream_sessions_replay": _q_stream_sessions,
         "web_url_dedup": _q_url_dedup,
         "web_domain_stats": _q_domain_stats,
@@ -2891,4 +2950,7 @@ FROM events GROUP BY 1, 2
     # the bucketed (hot-key-safe) sessionization is EXACTLY equivalent
     # to the plain form, so it certifies against the same SQL
     oracles["events_sessions_hot"] = oracles["events_sessions"]
+    # iterative PageRank: the oracle unrolls the same 3 grid-rounded
+    # power iterations as chained CTEs (value-level, not rows-only)
+    oracles["graph_pagerank"] = _pagerank_oracle_sql(3)
     return oracles

@@ -121,7 +121,8 @@ def main() -> None:
                  "web_url_dedup", "web_domain_stats",
                  "events_sessions_hot", "events_funnel",
                  "events_retention", "events_sliding",
-                 "emb_covariance", "emb_pca_project"):
+                 "emb_covariance", "emb_pca_project",
+                 "graph_pagerank"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)
