@@ -1156,6 +1156,73 @@ def _q_emb_pca_project(spark, sf_dir):
     return pca_project(_embeddings(spark, sf_dir), model)
 
 
+def _q_kmeans(spark, sf_dir):
+    """Grid-quantized Lloyd k-means (ops/similarity.train_centroids
+    with grid=9): 2 spherical iterations from the lowest-id init, then
+    a final cell assignment. The 1e-9 centroid grid makes the whole
+    training run engine-replayable, so the oracle UNROLLS both
+    iterations in SQL — a second fully value-certified iterative
+    operator alongside graph_pagerank."""
+    from phphinder_spark.ops.similarity import (
+        assign_centroids,
+        train_centroids,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents = train_centroids(emb, n_centroids=8, n_iter=2, grid=9)
+    return assign_centroids(emb, cents).select("vec_id", "cid", "cent_sim")
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    head = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, list_transform(v, x -> x / greatest(
+    sqrt(list_dot_product(v, v)), 1e-12)) AS cv
+  FROM e
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(cv, x -> round(x, 9)) AS centv
+  FROM (SELECT vec_id, cv FROM nv ORDER BY vec_id LIMIT {k})
+)"""
+    step = """, a{i} AS (
+  SELECT vec_id, cid, cv FROM (
+    SELECT nv.vec_id, c{prev}.cid, nv.cv,
+      row_number() OVER (PARTITION BY nv.vec_id
+        ORDER BY round(list_dot_product(nv.cv, c{prev}.centv), 6) DESC,
+                 c{prev}.cid) AS rn
+    FROM nv CROSS JOIN c{prev}) WHERE rn = 1
+), s{i} AS (
+  SELECT a.cid, t.pos, sum(a.cv[t.pos + 1]) AS s
+  FROM a{i} a CROSS JOIN (SELECT unnest(range({dim})) AS pos) t
+  GROUP BY 1, 2
+), c{i} AS (
+  SELECT p.cid, coalesce(u.centv, p.centv) AS centv
+  FROM c{prev} p LEFT JOIN (
+    SELECT cid, list_transform(vec, x -> round(
+      x / (CASE WHEN sqrt(list_dot_product(vec, vec)) = 0 THEN 1.0
+           ELSE sqrt(list_dot_product(vec, vec)) END), 9)) AS centv
+    FROM (SELECT cid, list(s ORDER BY pos) AS vec FROM s{i}
+          GROUP BY cid)
+  ) u USING (cid)
+)"""
+    body = "".join(
+        step.format(i=i, prev=i - 1, dim=dim)
+        for i in range(1, n_iter + 1)
+    )
+    tail = f"""
+SELECT vec_id, cid, cent_sim FROM (
+  SELECT nv.vec_id, c{n_iter}.cid,
+    round(list_dot_product(nv.cv, c{n_iter}.centv), 6) AS cent_sim,
+    row_number() OVER (PARTITION BY nv.vec_id
+      ORDER BY round(list_dot_product(nv.cv, c{n_iter}.centv), 6) DESC,
+               c{n_iter}.cid) AS rn
+  FROM nv CROSS JOIN c{n_iter}) WHERE rn = 1
+"""
+    return head + body + tail
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank over a deterministic link graph synthesized from the
     documents table (3 out-links per non-dangling doc by modular
@@ -1381,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": _q_emb_covariance,
         "emb_pca_project": _q_emb_pca_project,
         "graph_pagerank": _q_pagerank,
+        "emb_kmeans": _q_kmeans,
         "stream_sessions_replay": _q_stream_sessions,
         "web_url_dedup": _q_url_dedup,
         "web_domain_stats": _q_domain_stats,
@@ -2953,4 +3021,6 @@ FROM events GROUP BY 1, 2
     # iterative PageRank: the oracle unrolls the same 3 grid-rounded
     # power iterations as chained CTEs (value-level, not rows-only)
     oracles["graph_pagerank"] = _pagerank_oracle_sql(3)
+    # grid-quantized Lloyd k-means: both training iterations unrolled
+    oracles["emb_kmeans"] = _kmeans_oracle_sql(8, 2, 64)
     return oracles

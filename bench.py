@@ -122,7 +122,7 @@ def main() -> None:
                  "events_sessions_hot", "events_funnel",
                  "events_retention", "events_sliding",
                  "emb_covariance", "emb_pca_project",
-                 "graph_pagerank"):
+                 "graph_pagerank", "emb_kmeans"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

@@ -108,6 +108,7 @@ def train_centroids(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grid: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means (Lloyd) coarse-quantizer training for
     ``ivf_topk(..., centroids=...)`` — the trained drop-in the IVF
@@ -123,10 +124,15 @@ def train_centroids(
     driver-sized by construction.
 
     Note: cell means are floating-point sums whose order depends on the
-    physical partitioning, so re-training on a differently-partitioned
-    corpus may flip last-bit values (standard for distributed k-means);
-    the driver oracle therefore certifies the SAMPLED-centroid IVF,
-    whose structure is exactly replayable in SQL."""
+    physical partitioning, so by default re-training on a differently-
+    partitioned corpus may flip last-bit values (standard for
+    distributed k-means). ``grid=N`` removes that: every centroid
+    coordinate (init + each re-center) is rounded to the 1e-N grid —
+    the PageRank/bigram-LM quantization trick — making the whole
+    training run engine-replayable; the ``emb_kmeans`` driver row
+    certifies a grid-9 run value-level against an unrolled-SQL
+    oracle. (The older sampled-centroid IVF certification stands for
+    grid=None.)"""
     corpus = emb.select(
         F.col(id_col).alias("vec_id"), _normalized(vec_col).alias("cv")
     ).cache()
@@ -136,8 +142,11 @@ def train_centroids(
         .select("cv")
         .collect()
     )
+    def _q(v):
+        return [round(x, grid) for x in v] if grid is not None else list(v)
+
     cents: list[tuple[int, list[float]]] = [
-        (i, list(r["cv"])) for i, r in enumerate(init)
+        (i, _q(r["cv"])) for i, r in enumerate(init)
     ]
     if not cents:
         corpus.unpersist()
@@ -183,7 +192,7 @@ def train_centroids(
             for r in sums:
                 v = list(r["vec"])
                 n = math.sqrt(sum(x * x for x in v)) or 1.0
-                new[int(r["cid"])] = [x / n for x in v]
+                new[int(r["cid"])] = _q(x / n for x in v)
             cents = [(cid, new.get(cid, v)) for cid, v in cents]
     finally:
         # an exception mid-iteration (collect/createDataFrame failure) must

@@ -139,3 +139,23 @@ def test_pca_train_k_bounds(emb):
         pca_train(df, k=0)
     with pytest.raises(ValueError):
         pca_train(df, k=D + 1)
+
+
+def test_train_centroids_grid_partition_invariant(spark):
+    """grid=N makes k-means training a pure function of the DATA:
+    identical centroids under different physical partitionings (the
+    float-sum-order sensitivity the docstring warns about for
+    grid=None)."""
+    from phphinder_spark.ops.similarity import train_centroids
+
+    x = _rows(120, seed=3, d=8)
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    a = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(2)
+    b = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(13, "vec_id")
+    ca = train_centroids(a, n_centroids=4, n_iter=3, grid=9)
+    cb = train_centroids(b, n_centroids=4, n_iter=3, grid=9)
+    assert ca == cb
