@@ -1162,13 +1162,19 @@ def _q_kmeans(spark, sf_dir):
     a final cell assignment. The 1e-9 centroid grid makes the whole
     training run engine-replayable, so the oracle UNROLLS both
     iterations in SQL — a second fully value-certified iterative
-    operator alongside graph_pagerank."""
+    operator alongside graph_pagerank. The double cast is load-bearing
+    like the sibling embedding entries: the parquet column is
+    array<float>, and normalizing in FLOAT drifts up to 3e-9 per
+    coordinate from the oracle's DOUBLE[] cast — past the 1e-9 grid
+    the certification depends on."""
     from phphinder_spark.ops.similarity import (
         assign_centroids,
         train_centroids,
     )
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     cents = train_centroids(emb, n_centroids=8, n_iter=2, grid=9)
     return assign_centroids(emb, cents).select("vec_id", "cid", "cent_sim")
 

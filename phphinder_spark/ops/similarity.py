@@ -151,30 +151,13 @@ def train_centroids(
     if not cents:
         corpus.unpersist()
         return []
-    spark = emb.sparkSession
     try:
         for _ in range(n_iter):
-            cdf = spark.createDataFrame(cents, "cid long, centv array<double>")
-            adot = F.aggregate(
-                F.zip_with("cv", "centv", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            assign = (
-                corpus.crossJoin(F.broadcast(cdf))
-                .withColumn("csim", F.round(adot, 6))
-                .groupBy("vec_id")
-                .agg(
-                    F.max(
-                        F.struct(
-                            F.col("csim").alias("csim"),
-                            (-F.col("cid")).cast("long").alias("ncid"),
-                        )
-                    ).alias("best"),
-                    F.first("cv").alias("cv"),
-                )
-                .select((-F.col("best.ncid")).alias("cid"), "cv")
-            )
+            # same semantics as the serving path (round-6 csim, ties to
+            # lowest cid) — _assign_cells picks the literal map-only
+            # projection for <= 128 centroids, so a training iteration
+            # costs no corpus shuffle beyond the (cid, pos) re-center
+            assign = _assign_cells(corpus, cents).select("cid", "cv")
             sums = (
                 assign.select("cid", F.posexplode("cv").alias("pos", "x"))
                 .groupBy("cid", "pos")

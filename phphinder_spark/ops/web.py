@@ -149,9 +149,15 @@ def url_dedup(
             F.xxhash64(F.col(id_col).cast("string"), F.lit("invalid"))
         )
         w = Window.partitionBy("_k")
+        # only VALID rows compete for keeper: an invalid row's synthetic
+        # key colliding with a real group's hash must not capture (and
+        # thereby null out) that group's keeper
         return (
             norm.withColumn("_k", k)
-            .withColumn("_keeper", F.min(id_col).over(w))
+            .withColumn(
+                "_keeper",
+                F.min(F.when(F.col("valid"), F.col(id_col))).over(w),
+            )
             .select(
                 id_col,
                 "url_norm",
