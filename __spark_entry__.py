@@ -1091,6 +1091,18 @@ def _q_domain_stats(spark, sf_dir):
     return domain_stats(_synth_urls(spark, sf_dir))
 
 
+def _q_events_anomalies(spark, sf_dir):
+    """Rolling z-score rate anomalies per event_type
+    (ops/events.rate_anomalies): hourly buckets vs the trailing-6
+    occupied-bucket baseline, flag at z >= 2 on the rounded z."""
+    from phphinder_spark.ops.events import rate_anomalies
+
+    return rate_anomalies(
+        _events(spark, sf_dir), window_minutes=60.0, trailing=6,
+        z_thresh=2.0,
+    )
+
+
 def _q_events_funnel(spark, sf_dir):
     """Strict ordered view -> click -> commit funnel over the events
     log (ops/events.funnel): greedy-earliest matching, strictly-after
@@ -1451,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_sliding": _q_events_sliding,
+        "events_anomalies": _q_events_anomalies,
         "emb_covariance": _q_emb_covariance,
         "emb_pca_project": _q_emb_pca_project,
         "graph_pagerank": _q_pagerank,
@@ -2961,6 +2974,33 @@ SELECT t1.u AS user_id,
   CAST(t1.t1 AS BIGINT) AS first_step_us,
   CAST(coalesce(t3.t3, t2.t2, t1.t1) AS BIGINT) AS last_step_us
 FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u
+""",
+        # rolling z-score anomalies: hourly counts vs trailing-6
+        # occupied-bucket baseline; flag compares the ROUNDED z
+        "events_anomalies": """
+WITH wc AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS w,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT w AS window_start_us, event_type, n_events,
+    count(*) OVER fr AS n_prev,
+    avg(n_events) OVER fr AS mean,
+    stddev_pop(n_events) OVER fr AS std
+  FROM wc
+  WINDOW fr AS (PARTITION BY event_type ORDER BY w
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT window_start_us, event_type, n_events,
+  (n_prev = 6 AND std > 0) AS z_defined,
+  CASE WHEN n_prev = 6 THEN round(mean, 6) ELSE -1.0 END AS base_mean,
+  CASE WHEN n_prev = 6 AND std > 0
+       THEN round((n_events - mean) / std, 6) ELSE 0.0 END AS z,
+  (n_prev = 6 AND std > 0
+   AND CASE WHEN n_prev = 6 AND std > 0
+        THEN round((n_events - mean) / std, 6) ELSE 0.0 END >= 2.0)
+    AS is_anomaly
+FROM r
 """,
         # daily cohorts by first-event day; distinct actives per
         # (cohort, day offset) — all-integer bucket arithmetic

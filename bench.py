@@ -122,7 +122,8 @@ def main() -> None:
                  "events_sessions_hot", "events_funnel",
                  "events_retention", "events_sliding",
                  "emb_covariance", "emb_pca_project",
-                 "graph_pagerank", "emb_kmeans"):
+                 "graph_pagerank", "emb_kmeans",
+                 "events_anomalies"):
         t = time.time()
         qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t, 3)

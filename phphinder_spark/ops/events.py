@@ -402,6 +402,71 @@ def sliding_window_counts(
     )
 
 
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    window_minutes: float = 60.0,
+    trailing: int = 24,
+    z_thresh: float = 3.0,
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling z-score anomaly flags on per-window event rates — the
+    standard ingest-monitoring reduction (did the crawl rate of
+    'error' events spike vs its trailing baseline?).
+
+    Buckets events with :func:`window_counts`, then per ``by`` group
+    compares each bucket's count against the mean/stddev of the
+    previous ``trailing`` OCCUPIED buckets (rows, not wall-clock
+    periods: empty buckets produce no row and are skipped by the
+    frame — callers monitoring sparse streams should densify first if
+    gap periods must count as zero). Buckets with fewer than
+    ``trailing`` predecessors, or a zero-variance baseline, have
+    ``z_defined`` false and never flag.
+
+    Output: ``(window_start_us, <by>, n_events, z_defined, base_mean,
+    z, is_anomaly)`` with base_mean/z rounded to 1e-6. base_mean is
+    ``-1.0`` when the baseline is short, and z is ``0.0`` whenever
+    ``z_defined`` is false (short baseline OR zero variance) —
+    SENTINELS, not values (numeric NULLs canonicalize to NaN through
+    Arrow/pandas and break cross-engine value comparison; same
+    contract as dedup_against's -1 sentinels).
+
+    Scale: the corpus-scale work is the combining window_counts
+    aggregate; the rolling window runs over the AGGREGATED frame
+    (|groups| x |occupied buckets| rows), partitioned by the group —
+    per-partition size is bounded by the time horizon, never by event
+    volume."""
+    wc = window_counts(df, ts_col, window_minutes, by, value_col)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("window_start_us")
+        .rowsBetween(-trailing, -1)
+    )
+    n_prev = F.count(F.lit(1)).over(w)
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_pop("n_events").over(w)
+    full = n_prev == F.lit(trailing)
+    # the flag compares the ROUNDED z: engines disagree on stddev at
+    # ~1e-15 (different merge formulas), and an unrounded comparison
+    # could flip a knife-edge flag across engines
+    defined = full & (std > 0)
+    z = F.when(
+        defined, F.round((F.col("n_events") - mean) / std, 6)
+    ).otherwise(F.lit(0.0))
+    return wc.select(
+        "window_start_us",
+        F.col(by),
+        "n_events",
+        defined.alias("z_defined"),
+        F.when(full, F.round(mean, 6)).otherwise(F.lit(-1.0)).alias(
+            "base_mean"
+        ),
+        z.alias("z"),
+        (defined & (z >= F.lit(float(z_thresh)))).alias("is_anomaly"),
+    )
+
+
 def window_counts(
     df: DataFrame,
     ts_col: str = "ts",

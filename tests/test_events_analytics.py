@@ -170,3 +170,56 @@ def test_funnel_plan_no_window(log):
         .toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_rate_anomalies_golden(spark):
+    from phphinder_spark.ops.events import rate_anomalies
+
+    # 6 steady hourly buckets of 2 events, then one 10-event spike
+    rows = []
+    eid = 0
+    for h in range(6):
+        for j in range(2):
+            rows.append(_ev(eid, 1, h * 60.0 + j, "x")); eid += 1
+    for j in range(10):
+        rows.append(_ev(eid, 1, 6 * 60.0 + j, "x")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = {
+        r.window_start_us: r
+        for r in rate_anomalies(
+            df, window_minutes=60.0, trailing=3, z_thresh=3.0
+        ).collect()
+    }
+    spike = got[US0 + 6 * 3_600_000_000 // 60 * 60]  # hour-6 bucket
+    # trailing 3 buckets are all 2 -> std 0 -> z undefined, never flags
+    assert spike.base_mean == 2.0
+    assert spike.z_defined is False and spike.z == 0.0
+    assert spike.is_anomaly is False  # std=0 -> undefined z, no flag
+    # trailing-short buckets carry the -1.0 sentinel, never flag
+    assert got[US0].base_mean == -1.0 and got[US0].z_defined is False
+    assert got[US0].is_anomaly is False
+
+
+def test_rate_anomalies_flags_real_spike(spark):
+    from phphinder_spark.ops.events import rate_anomalies
+
+    # varied baseline (1,2,1,2 ...) then a 12-event spike: std > 0
+    rows = []
+    eid = 0
+    for h in range(8):
+        for j in range(1 + h % 2):
+            rows.append(_ev(eid, 1, h * 60.0 + j, "x")); eid += 1
+    for j in range(12):
+        rows.append(_ev(eid, 1, 8 * 60.0 + j, "x")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = rate_anomalies(df, window_minutes=60.0, trailing=4,
+                         z_thresh=3.0)
+    flagged = [r for r in out.collect() if r.is_anomaly]
+    assert len(flagged) == 1
+    assert flagged[0].n_events == 12 and flagged[0].z > 3.0
