@@ -1,5 +1,7 @@
 """Tests for ops/web.py (URL canonicalization + URL-level dedup)."""
 
+from pyspark.sql import functions as F
+
 from phphinder_spark.ops.web import domain_stats, normalize_urls, url_dedup
 
 
@@ -127,8 +129,39 @@ def test_domain_stats(spark):
     assert got == {"a.com": (3, 2), "b.org": (1, 1)}
 
 
+def test_normalize_idempotent_on_generated_frontier(spark):
+    """Canonicalization must be a FIXED POINT: re-normalizing every
+    canonical URL returns it unchanged. One pass over a generated
+    adversarial mix covering the whole rule space (case, ports,
+    params in every order, tracking junk, slashes, fragments,
+    fragment-embedded '?')."""
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["A.com", "www.B.org:8080", "c.net:443", "d.io:80"]
+    paths = ["", "/", "/x", "/x/", "//y//"]
+    queries = ["", "?b=2&a=1", "?utm_s=1", "?a=1&utm_s=2&b=2", "?ref=z"]
+    frags = ["", "#f", "#sec?x=1"]
+    urls, i = [], 0
+    for sc in schemes:
+        for h in hosts:
+            for p in paths:
+                for q in queries:
+                    for f in frags:
+                        urls.append((i, f"{sc}://{h}{p}{q}{f}"))
+                        i += 1
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    first = normalize_urls(df).where("valid").select(
+        "doc_id", F.col("url_norm").alias("url")
+    )
+    again = normalize_urls(first).select("doc_id", "url_norm", "valid")
+    joined = first.join(again, "doc_id")
+    assert joined.count() == len(urls)
+    assert joined.where("NOT valid OR url != url_norm").count() == 0
+
+
 def test_normalize_plan_map_only(spark):
-    df = spark.createDataFrame([(1, "http://a.com/x")], "doc_id long, url string")
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x")], "doc_id long, url string"
+    )
     plan = (
         normalize_urls(df)._jdf.queryExecution().executedPlan().toString()
     )
