@@ -2981,7 +2981,7 @@ FROM t1 LEFT JOIN t2 ON t1.u = t2.u LEFT JOIN t3 ON t1.u = t3.u
 WITH wc AS (
   SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS w,
          event_type, CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), r AS (
   SELECT w AS window_start_us, event_type, n_events,
     count(*) OVER fr AS n_prev,
@@ -3038,7 +3038,7 @@ SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT)
          AS window_start_us,
        event_type, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 6) AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
         # ---- streaming batch-replay equivalence: the Spark side ran the
         # REAL stream (micro-batches, state store, watermark); the oracle

@@ -96,22 +96,43 @@ _PYSTEMMER_LANGS = {
 }
 
 
+_PYSTEMMER_CACHE: dict = {}
+
+
 def _pystemmer_fn(lang_iso: str):
     """Upstream-certified stem callable via the optional PyStemmer C
-    extension, or None when the language/extension is unavailable. A
-    fresh ``Stemmer`` instance per closure: the C object is NOT
-    thread-safe, and these callables run inside Arrow batch workers."""
+    extension, or None when the language/extension is unavailable.
+
+    The returned callable carries only the ALGORITHM NAME and builds
+    its ``Stemmer`` lazily on first use in whatever process runs it:
+    the C object is unpicklable (a driver-bound instance would crash
+    UDF serialization the moment the analyzer ships to executors —
+    the exact path the feature exists for) and not thread-safe (each
+    deserialized worker copy builds its own)."""
     algo = _PYSTEMMER_LANGS.get(lang_iso)
     if algo is None:
         return None
     try:
-        import Stemmer  # PyStemmer, optional
+        import Stemmer  # PyStemmer, optional — availability check only
     except ImportError:
         return None
     if algo not in Stemmer.algorithms():
         return None
-    st = Stemmer.Stemmer(algo)
-    return st.stemWord
+
+    # per-PROCESS cache in a module global: the closure captures only
+    # the algo string (a default-arg holder would be pickled along
+    # WITH a populated Stemmer after any driver-side use and crash
+    # serialization anyway); workers re-import this module and build
+    # their own instance on first call
+    def stem_word(word):
+        st = _PYSTEMMER_CACHE.get(algo)
+        if st is None:
+            import Stemmer as _S
+
+            st = _PYSTEMMER_CACHE[algo] = _S.Stemmer(algo)
+        return st.stemWord(word)
+
+    return stem_word
 
 
 class StemmerTransformer(_Filtered):

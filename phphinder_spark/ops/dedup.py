@@ -318,10 +318,18 @@ def dedup_against(
             ).alias("band", "key"),
         )
 
-    new_sigs = minhash_signatures(df, col, id_col, num_perm, shingle_k, seed).cache()
+    # lazy localCheckpoint, NOT .cache(): the signature frames are
+    # consumed by multiple legs of THIS plan, but an unpersisted cache
+    # would pin both corpora's signatures in executor storage for the
+    # application lifetime (ingest_increment calls this once per crawl
+    # increment); checkpoint blocks are released by the context cleaner
+    # once the returned plan is garbage-collected
+    new_sigs = minhash_signatures(
+        df, col, id_col, num_perm, shingle_k, seed
+    ).localCheckpoint(eager=False)
     ref_sigs = minhash_signatures(
         reference, col, ref_id_col, num_perm, shingle_k, seed
-    ).cache()
+    ).localCheckpoint(eager=False)
     cands = (
         _banded(new_sigs, "a_id")
         .join(_banded(ref_sigs, "b_id"), ["band", "key"])

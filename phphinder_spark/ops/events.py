@@ -485,7 +485,14 @@ def window_counts(
     microseconds (long). Map-side projection + ONE combining aggregate;
     zero windows, zero joins — the flat-aggregation shape that scales
     to any log size.
+
+    NULL-timestamp events are EXCLUDED (same contract as sessionize;
+    a NULL bucket row would otherwise sort NULLS-FIRST into every
+    rate_anomalies baseline and count toward its trailing window —
+    and engines disagree on NULL ordering, so it would also break the
+    cross-engine gate).
     """
+    df = df.where(F.col(ts_col).isNotNull())
     width_us = int(round(window_minutes * MICROS_PER_MIN))
     # micros - (micros % width), NOT floor(micros / width) * width: the
     # division form goes through a double, and at 1e15-scale micros a

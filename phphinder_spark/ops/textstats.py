@@ -1062,7 +1062,13 @@ def apply_bpe(
     ranks = {pair: i for i, pair in enumerate(merge_list)}
     import re as _re
 
-    token_re = _re.compile(r"\W+", _re.UNICODE)
+    # ASCII mode is load-bearing: train_bpe tokenizes with the JVM's
+    # \W+ (ASCII word chars only — 'cafe\u0301' splits at the accent),
+    # while Python's default \W is Unicode-aware and would keep it
+    # whole, so encoding would diverge from training on any non-ASCII
+    # text (trained merges never firing, separators leaking as
+    # symbols)
+    token_re = _re.compile(r"\W+", _re.ASCII)
 
     def encode_word(w: str) -> list[str]:
         syms = list(w) + [end_marker]
@@ -1125,8 +1131,12 @@ def apply_bpe(
     base = df.select(
         F.col(id_col).alias("__id"), F.col(col).alias("__text")
     )
+    # id type follows the CALLER's column (a code corpus keys by path
+    # strings) — hardcoding long would break Arrow conversion
+    id_type = df.schema[id_col].dataType.simpleString()
     return base.mapInPandas(
-        segment, "doc_id long, bpe_tokens array<string>, n_bpe_tokens long"
+        segment,
+        f"doc_id {id_type}, bpe_tokens array<string>, n_bpe_tokens long",
     ).withColumnRenamed("doc_id", id_col)
 
 

@@ -1,6 +1,8 @@
 """Round-7 expansion ops: C4 quality filter, per-doc chunking,
 cross-doc boilerplate line removal, deterministic split assignment."""
 
+import datetime as dt
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -378,3 +380,51 @@ def test_apply_bpe_roundtrip(spark):
         merges,
     ).collect()[0]
     assert nl.bpe_tokens is None and nl.n_bpe_tokens == 0
+
+
+def test_apply_bpe_matches_training_tokenization_non_ascii(spark):
+    """Encoding must tokenize exactly like training: train_bpe uses the
+    JVM \\W+ (ASCII word chars — accents split), so apply_bpe must use
+    re.ASCII. With the Unicode default, trained merges never fire on
+    accented words and separators leak into the symbol stream."""
+    from phphinder_spark.ops.textstats import apply_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "café café café au lait")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=4)
+    out = apply_bpe(df, merges).first()
+    # the JVM tokenizer saw 'caf' (accent split off); four merges fully
+    # collapse it, and the accent NEVER appears as an output symbol
+    assert "caf</w>" in out.bpe_tokens
+    assert all("é" not in t for t in out.bpe_tokens)
+
+
+def test_apply_bpe_preserves_string_id_type(spark):
+    from phphinder_spark.ops.textstats import apply_bpe
+
+    df = spark.createDataFrame(
+        [("src/a.py", "aa ab aa")], "path string, text string"
+    )
+    out = apply_bpe(df, [("a", "a</w>")], id_col="path")
+    r = out.first()
+    assert r.path == "src/a.py" and r.n_bpe_tokens > 0
+
+
+def test_window_counts_excludes_null_ts(spark):
+    from phphinder_spark.ops.events import rate_anomalies, window_counts
+
+    rows = [
+        (0, None, 1, "x", 1.0),
+        (1, dt.datetime(2024, 1, 1, 0, 30), 1, "x", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = window_counts(df, window_minutes=60.0).collect()
+    assert len(out) == 1 and out[0].n_events == 1
+    # and the phantom NULL bucket cannot seed a trailing baseline
+    ra = rate_anomalies(df, window_minutes=60.0, trailing=1).collect()
+    assert len(ra) == 1 and ra[0].base_mean == -1.0
