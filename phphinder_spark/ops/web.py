@@ -187,15 +187,25 @@ def domain_stats(
     url_col: str = "url",
     id_col: str = "doc_id",
     strip_params: tuple[str, ...] = DEFAULT_STRIP_PARAMS,
+    hash_key: bool = False,
 ) -> DataFrame:
     """Per-host crawl frontier profile: total rows and distinct
     canonical URLs (the refetch ratio is ``n_docs / n_urls``). One
     combining aggregate on host; the distinct runs as the standard
     two-phase partial-distinct plan. Invalid rows are excluded.
 
+    ``hash_key=True`` counts distinct ``xxhash64(url_norm)`` longs
+    instead of canonical strings — the same 100-TB trade as
+    :func:`url_dedup`: the exchange carries 8-byte keys, at the cost
+    of undercounting a host's distinct URLs by its 64-bit collisions
+    (~m^2 / 2^65 per host — negligible at any real per-host m).
+
     Returns ``(host, n_docs, n_urls)``."""
     norm = normalize_urls(df, url_col, id_col, strip_params).where("valid")
+    key = (
+        F.xxhash64("url_norm") if hash_key else F.col("url_norm")
+    )
     return norm.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct(F.col("url_norm")).alias("n_urls"),
+        F.count_distinct(key).alias("n_urls"),
     )

@@ -166,3 +166,17 @@ def test_normalize_plan_map_only(spark):
         normalize_urls(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_domain_stats_hash_key_equivalence(spark):
+    rows = [
+        (i, f"http://site{i % 5}.com/p/{i % 17}"
+            + ("#frag" if i % 2 == 0 else ""))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    plain = {(r.host, r.n_docs, r.n_urls)
+             for r in domain_stats(df).collect()}
+    hashed = {(r.host, r.n_docs, r.n_urls)
+              for r in domain_stats(df, hash_key=True).collect()}
+    assert plain == hashed
