@@ -158,10 +158,11 @@ class SparkSearchEngine:
         self._source_df: DataFrame | None = None
         self._max_id = 0
         self._dict_size = -1  # lazy |dictionary| for typo_strategy='auto'
-        # driver-side term -> (fields...) dictionary (built lazily on the
+        # driver-side term -> {field: df} dictionary (built lazily on the
         # first search, under _DICT_DRIVER_CACHE_MAX; None = too big or
-        # not yet attempted — _tf_cache_tried disambiguates)
-        self._tf_cache: dict[str, tuple[str, ...]] | None = None
+        # not yet attempted — _tf_cache_tried disambiguates). Carrying df
+        # lets BM25 skip its per-query document-frequency shuffle.
+        self._tf_cache: dict[str, dict[str, int]] | None = None
         self._tf_cache_tried = False
         self._shadow_ok: dict[str, bool] = {}  # <field>#raw presence probes
         # cold-serving mode (from_index_dir(serve="segments")): postings
@@ -319,10 +320,17 @@ class SparkSearchEngine:
 
         Lazy apart from that: nothing materializes until the first
         query/count; ``_max_id`` (needed only by the interactive flush
-        path) is fetched on demand."""
+        path) is fetched on demand.
+
+        The source is widened to the session parallelism first when the
+        input plan yields fewer partitions (a small corpus in one parquet
+        file scans as ONE split, serializing the analyzer UDF stage on a
+        single core — guide §2.5); at scale the guard is a no-op."""
+        from phphinder_spark.functions.parallel import ensure_min_partitions
+
         if self._source_df is not None:
             self._source_df.unpersist()
-        self._source_df = df.cache()
+        self._source_df = ensure_min_partitions(df).cache()
         self.index = build_index(self._source_df, self.schema).cache()
         self._max_id = -1
         self._dict_size = -1
@@ -379,7 +387,27 @@ class SparkSearchEngine:
         return bm25_topk_batch(
             post_src, self.index.doclens, qmap, field,
             stats["n_docs"], stats["avgdl"].get(field, 1.0), k, k1, b,
+            df_by_term=self._df_for_terms(
+                {t for ts in qmap.values() for t in ts}, field
+            ),
         )
+
+    def _df_for_terms(
+        self, terms: set[str], field: str
+    ) -> dict[str, int] | None:
+        """Per-term document frequencies for ``field`` from the driver
+        dictionary cache (None when the dictionary is over the cap —
+        callers then fall back to the per-query dfreq aggregation).
+        Values are dict_df's df, i.e. exactly what the aggregation would
+        compute, so scoring is unchanged."""
+        cache = self._term_field_cache()
+        if cache is None:
+            return None
+        return {
+            t: cache[t][field]
+            for t in terms
+            if t in cache and field in cache[t]
+        }
 
     @classmethod
     def from_index_dir(
@@ -586,11 +614,13 @@ class SparkSearchEngine:
                 .where(F.levenshtein(F.col("term"), F.lit(t)) <= d)
                 .select("field", "term")
             )
-        return (
-            self._postings_for_terms(cand)
-            .select("doc_id", "field")
-            .distinct()
-        )
+        # no .distinct(): a doc matched by several candidate terms emits
+        # duplicate (doc_id, field) rows, but every downstream consumer
+        # is set-shaped — the finalize aggregate's array_distinct/min and
+        # the count filter collapse duplicates — so the distinct was one
+        # avoidable exchange per typo leaf (guide §2.4); the finalize
+        # groupBy's map-side partial aggregation absorbs the extra rows
+        return self._postings_for_terms(cand).select("doc_id", "field")
 
     def _leaf_prefix(self, q: PrefixQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
         p = self.schema.analyzer.transform(q.value)
@@ -603,13 +633,12 @@ class SparkSearchEngine:
             self.schema.indexed_fields if q.field == ANY_FIELD else [q.field]
         )
         base_seq = ctx.next()
-        rows = (
-            self._postings_where(
-                F.col("term").startswith(p) & F.col("field").isin(fields)
-            )
-            .select("doc_id", "field")
-            .distinct()
-        )
+        # no .distinct() — same argument as the typo leaf: duplicates per
+        # (doc, field) from multiple prefix-matched terms collapse in the
+        # finalize aggregate; dropping it removes one exchange per leaf
+        rows = self._postings_where(
+            F.col("term").startswith(p) & F.col("field").isin(fields)
+        ).select("doc_id", "field")
         return self._attach(matches, rows, q.value, base_seq)
 
     def _positional_faithful(self) -> bool:
@@ -795,8 +824,11 @@ class SparkSearchEngine:
             return self._group(q, matches, ctx, phrase, top=top)
         if isinstance(q, NotQuery):
             excluded = self._compute(q.get_subquery(), self._empty_matches(), ctx, phrase)
+            # no .distinct() on the excluded side: anti-join semantics are
+            # set-based already, and the hash build dedups keys — the
+            # distinct was a whole extra exchange per NOT (guide §2.4)
             return matches.join(
-                excluded.select("doc_id").distinct(), "doc_id", "left_anti"
+                excluded.select("doc_id"), "doc_id", "left_anti"
             )
         if isinstance(q, TermQuery):
             return self._leaf_term(q, matches, ctx)
@@ -978,22 +1010,25 @@ class SparkSearchEngine:
             timings["bm25"] = round(_time.time() - t0, 3)
         return timings
 
-    def _term_field_cache(self) -> dict[str, tuple[str, ...]] | None:
-        """Driver-side term -> fields dictionary, built ONCE per index
-        (from dict_df — the persisted dictionary artifact in segment mode,
-        the shadow-free postings dictionary in memory mode) when the
-        dictionary fits under ``_DICT_DRIVER_CACHE_MAX`` rows; None above
-        the cap. Turns the per-query existence prefetch into a local dict
-        probe — zero Spark jobs per warm query (round-5 verdict #3)."""
+    def _term_field_cache(self) -> dict[str, dict[str, int]] | None:
+        """Driver-side term -> {field: df} dictionary, built ONCE per
+        index (from dict_df — the persisted dictionary artifact in
+        segment mode, the shadow-free postings dictionary in memory mode)
+        when the dictionary fits under ``_DICT_DRIVER_CACHE_MAX`` rows;
+        None above the cap. Turns the per-query existence prefetch into a
+        local dict probe — zero Spark jobs per warm query (round-5
+        verdict #3) — and hands BM25 its per-term document frequencies
+        without a per-query dfreq shuffle (the df values are exactly
+        dict_df's, i.e. the postings row count per (field, term))."""
         if not self._tf_cache_tried:
             self._tf_cache_tried = True
             if self._dict_size < 0:
                 self._dict_size = self.index.dict_df.count()
             if self._dict_size <= _DICT_DRIVER_CACHE_MAX:
-                by_term: dict[str, list[str]] = {}
-                for r in self.index.dict_df.select("term", "field").collect():
-                    by_term.setdefault(r["term"], []).append(r["field"])
-                self._tf_cache = {t: tuple(fs) for t, fs in by_term.items()}
+                by_term: dict[str, dict[str, int]] = {}
+                for r in self.index.dict_df.select("term", "field", "df").collect():
+                    by_term.setdefault(r["term"], {})[r["field"]] = int(r["df"])
+                self._tf_cache = by_term
         return self._tf_cache
 
     def _prefetch_term_hits(self, query) -> dict[tuple[str, str], bool]:
@@ -1156,4 +1191,5 @@ class SparkSearchEngine:
             k,
             k1,
             b,
+            df_by_term=self._df_for_terms(set(terms), field),
         )

@@ -83,7 +83,14 @@ def _analyze_udf(analyzer: Analyzer, unique: bool):
             else [(str(t), p) for t, p in analyzer.analyze(v)]
         )
 
-    return F.pandas_udf(analyze_batch, _ANALYZED_TYPE)
+    # asNondeterministic: the analyzer IS deterministic, but without the
+    # marker Catalyst pushes the Generate's implied filter (size(toks)>0)
+    # below the projection and re-evaluates the UDF on both sides — two
+    # ArrowEvalPython nodes per field, every document analyzed twice
+    # (optimization guide §4.4; verified in the cached-postings build
+    # plan). The marker pins a single evaluation; tokenization output is
+    # unchanged.
+    return F.pandas_udf(analyze_batch, _ANALYZED_TYPE).asNondeterministic()
 
 
 SHADOW_SUFFIX = "#raw"
@@ -258,11 +265,18 @@ class InvertedIndex:
     def cache(self) -> "InvertedIndex":
         self.docs.cache()
         self._postings.cache()
+        # doclens is an index ARTIFACT (segment-serving persists it as a
+        # parquet table): without the cache every BM25 query re-runs the
+        # full postings->doclens aggregation — one avoidable corpus-scale
+        # shuffle per query (guide §2.4). It materializes with stats()'s
+        # avgdl pass, so cached engines pay it once at build.
+        self.doclens.cache()
         return self
 
     def unpersist(self) -> None:
         self.docs.unpersist()
         self._postings.unpersist()
+        self.doclens.unpersist()
         # derived caches materialize lazily (dict_df on demand, ngram_df
         # behind the typo path) — release them too or every flush's
         # _refresh_index leaks one cached dictionary + bigram index

@@ -159,8 +159,13 @@ def minhash_signatures(
     a = np.array([c[0] for c in coeffs], dtype=np.int64)
     b = np.array([c[1] for c in coeffs], dtype=np.int64)
 
+    # asNondeterministic: extracting both struct fields (s.sh, s.sig)
+    # lets CollapseProject inline the UDF expression twice — TWO
+    # ArrowEvalPython nodes, every signature computed twice (verified in
+    # the physical plan; optimization guide §4.4). The marker pins one
+    # evaluation; outputs are pure functions of the text either way.
     @F.pandas_udf("struct<sh: array<string>, sig: array<long>>")
-    def sig_udf(s: pd.Series) -> pd.DataFrame:
+    def _sig_udf_det(s: pd.Series) -> pd.DataFrame:
         split = re.compile(r"\W+").split
 
         def one(text):
@@ -188,9 +193,17 @@ def minhash_signatures(
 
         return pd.DataFrame([one(t) for t in s])
 
-    return df.select(
-        F.col(id_col).alias("id"), sig_udf(F.col(col)).alias("s")
-    ).select("id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
+    sig_udf = _sig_udf_det.asNondeterministic()
+
+    from phphinder_spark.functions.parallel import ensure_min_partitions
+
+    # widen single-split inputs so the signature UDF runs on every core,
+    # and project to the two needed columns BEFORE the opaque UDF so the
+    # scan prunes (guide §2.5 / §4.1); no-op on multi-split corpora
+    base = ensure_min_partitions(df.select(F.col(id_col).alias("id"), F.col(col)))
+    return base.select("id", sig_udf(F.col(col)).alias("s")).select(
+        "id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -451,8 +464,10 @@ def simhash_pairs(
     widths = simhash_chunk_widths(max_hamming, n_chunks)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
+    # asNondeterministic — same single-evaluation pin as sig_udf (the
+    # (s.sh, s.chunks) extraction otherwise duplicates the UDF)
     @F.pandas_udf("struct<sh: long, chunks: array<long>>")
-    def sim_udf(s: pd.Series) -> pd.DataFrame:
+    def _sim_udf_det(s: pd.Series) -> pd.DataFrame:
         split = re.compile(r"\W+").split
 
         def one(text):
@@ -482,8 +497,14 @@ def simhash_pairs(
 
         return pd.DataFrame([one(t) for t in s])
 
-    hashed = df.select(
-        F.col(id_col).alias("id"), sim_udf(F.col(col)).alias("s")
+    sim_udf = _sim_udf_det.asNondeterministic()
+
+    from phphinder_spark.functions.parallel import ensure_min_partitions
+
+    # same input-parallelism guard as minhash_signatures (guide §2.5)
+    base = ensure_min_partitions(df.select(F.col(id_col).alias("id"), F.col(col)))
+    hashed = base.select(
+        "id", sim_udf(F.col(col)).alias("s")
     ).select("id", F.col("s.sh").alias("sh"), F.col("s.chunks").alias("chunks")).cache()
     if keying == "auto":
         # count the cached fingerprints, not the upstream plan: this job

@@ -79,6 +79,15 @@ def bm25_idf(n_docs: int, df_: int) -> float:
     return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
 
 
+def _df_lookup_col(df_by_term: dict[str, int]) -> Column:
+    """term -> df as a literal CASE/map expression (dictionary-sized:
+    only the query's terms)."""
+    mapping = F.create_map(
+        *[x for t, v in sorted(df_by_term.items()) for x in (F.lit(t), F.lit(int(v)))]
+    )
+    return mapping[F.col("term")]
+
+
 def bm25_topk(
     postings: DataFrame,
     doclens: DataFrame,
@@ -89,20 +98,33 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    df_by_term: dict[str, int] | None = None,
 ) -> DataFrame:
     """Disjunctive (OR) BM25 top-k over one field.
 
     Plan shape: postings filtered to |terms| dictionary keys (parquet
-    min/max skipping prunes segments), broadcast-joined df stats, one hash
+    min/max skipping prunes segments), df stats attached, one hash
     aggregate, then TakeOrderedAndProject for the global top-k — no full
     sort. Deterministic tie-break (score desc, doc_id asc).
-    """
+
+    ``df_by_term`` (term -> document frequency for ``field``, e.g. from
+    the engine's driver-side dictionary cache) replaces the per-query
+    dfreq aggregation with a literal lookup — one less shuffle + one less
+    broadcast per query; the JVM arithmetic is identical (df enters the
+    same expression as a double), so scores are bit-identical."""
     hits = postings.where(
         (F.col("field") == field) & F.col("term").isin([str(t) for t in terms])
     )
-    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    if df_by_term:
+        # non-empty only: an empty map is untypable (map()[term]), and
+        # means no query term exists in this field — the fallback dfreq
+        # aggregation over the (empty) hits is free
+        scored = hits.withColumn("df", _df_lookup_col(df_by_term))
+    else:
+        dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+        scored = hits.join(F.broadcast(dfreq), "term")
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
+        scored
         .join(doclens.where(F.col("field") == field).select("doc_id", "dl"), "doc_id")
         .withColumn(
             "contrib",
@@ -132,13 +154,15 @@ def bm25_topk_batch(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    df_by_term: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k for a BATCH of queries in one plan.
 
     Per-query Spark jobs pay fixed scheduling latency; a query batch joins
     all (query_id, term) pairs against the postings once and ranks per
     query with a window — total cost ~= one query's job for the whole
-    batch. Returns (query_id, doc_id, score, rank)."""
+    batch. Returns (query_id, doc_id, score, rank). ``df_by_term``: see
+    :func:`bm25_topk` (skips the batch's dfreq aggregation)."""
     spark = postings.sparkSession
     # set semantics per query: a repeated term must contribute once (same as
     # the single-query path, where `isin` dedups), so dedupe the pairs
@@ -151,9 +175,16 @@ def bm25_topk_batch(
     hits = postings.where(F.col("field") == field).join(
         F.broadcast(qdf.select("term").distinct()), "term"
     )
-    dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    if df_by_term:
+        # non-empty only: an empty map is untypable (map()[term]), and
+        # means no query term exists in this field — the fallback dfreq
+        # aggregation over the (empty) hits is free
+        scored = hits.withColumn("df", _df_lookup_col(df_by_term))
+    else:
+        dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        scored = hits.join(F.broadcast(dfreq), "term")
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
+        scored
         .join(doclens.where(F.col("field") == field).select("doc_id", "dl"), "doc_id")
         .withColumn(
             "contrib",
