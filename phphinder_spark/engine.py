@@ -123,6 +123,37 @@ class RequiredFieldError(ValueError):
     pass
 
 
+def _lev_within(a: str, b: str, d: int) -> bool:
+    """Exact ``levenshtein(a, b) <= d`` via the banded DP (band width
+    2d+1): cells farther than ``d`` off-diagonal can never contribute to
+    a distance <= d, so the band decides the threshold exactly like the
+    full matrix (same metric as Spark's ``F.levenshtein``)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    prev = {j: j for j in range(min(lb, d) + 1)}
+    for i in range(1, la + 1):
+        cur: dict[int, int] = {}
+        lo = max(0, i - d)
+        hi = min(lb, i + d)
+        if lo == 0:
+            cur[0] = i
+            lo = 1
+        for j in range(lo, hi + 1):
+            best = prev.get(j - 1, d + 1) + (0 if a[i - 1] == b[j - 1] else 1)
+            up = prev.get(j, d + 1) + 1
+            left = cur.get(j - 1, d + 1) + 1
+            if up < best:
+                best = up
+            if left < best:
+                best = left
+            cur[j] = best
+        if not cur or min(cur.values()) > d:
+            return False
+        prev = cur
+    return prev.get(lb, d + 1) <= d
+
+
 class SparkSearchEngine:
     def __init__(
         self,
@@ -541,24 +572,38 @@ class SparkSearchEngine:
                 seen.append(f)
         return seen
 
-    def _attach(self, matches: DataFrame, rows: DataFrame, qvalue: str, base_seq: int) -> DataFrame:
+    def _attach(
+        self, matches: DataFrame | None, rows: DataFrame, qvalue: str, base_seq: int
+    ) -> DataFrame:
         rows = rows.select(
             "doc_id",
             F.lit(qvalue).alias("qvalue"),
             "field",
             (F.lit(base_seq * 1000) + self._field_pos_col()).alias("seq"),
         )
+        # matches is None until the first leaf emits rows — starting from
+        # a real empty DataFrame seeded every plan with a LocalTableScan +
+        # Union node for no semantic benefit (guide §2.4: remove plan
+        # nodes you did not ask for)
+        if matches is None:
+            return rows
         return matches.unionByName(rows)
 
-    def _leaf_term(self, q: TermQuery, matches: DataFrame, ctx: _Ctx) -> DataFrame:
+    def _term_leaf_fields(self, q: TermQuery) -> list[str]:
+        if q.field == ANY_FIELD:
+            return [
+                f for f in self.schema.indexed_fields if not self.schema.is_unique(f)
+            ]
+        return [q.field]
+
+    def _leaf_term(
+        self, q: TermQuery, matches: DataFrame | None, ctx: _Ctx
+    ) -> DataFrame | None:
         t = self.schema.analyzer.transform(q.value)
         if t is None:
             return matches
         t = str(t)
-        if q.field == ANY_FIELD:
-            fields = [f for f in self.schema.indexed_fields if not self.schema.is_unique(f)]
-        else:
-            fields = [q.field]
+        fields = self._term_leaf_fields(q)
         base_seq = ctx.next()
         exact = self._postings_where(
             (F.col("term") == t) & F.col("field").isin(fields)
@@ -603,6 +648,33 @@ class SparkSearchEngine:
             strategy = (
                 "ngram" if self._dict_size >= _TYPO_AUTO_DICT_THRESHOLD else "scan"
             )
+            if strategy == "scan":
+                # driver-refined scan: when the dictionary already lives in
+                # the driver cache, the length-band + Levenshtein filter
+                # runs locally (banded DP, O(|band| * |t| * d) — tens of
+                # ms under the 150k auto threshold) and the leaf becomes a
+                # single postings IN-list scan — no dictionary scan job,
+                # no candidate broadcast join (guide §2.4). Identical
+                # candidates: the banded DP decides lev <= d exactly like
+                # F.levenshtein, and postings only contain real (field,
+                # term) rows, so the isin x isin filter equals the pair
+                # join of the distributed form.
+                cache = self._term_field_cache()
+                if cache is not None:
+                    fset = set(fields)
+                    cand_terms = [
+                        ct
+                        for ct, cfs in cache.items()
+                        if abs(len(ct) - len(t)) <= d
+                        and not fset.isdisjoint(cfs)
+                        and _lev_within(ct, t, d)
+                    ]
+                    if not cand_terms:
+                        return empty
+                    return self._postings_where(
+                        F.col("term").isin(cand_terms)
+                        & F.col("field").isin(fields)
+                    ).select("doc_id", "field")
         if strategy == "ngram":
             from phphinder_spark.index.typo_ngram import typo_candidate_terms
 
@@ -813,8 +885,13 @@ class SparkSearchEngine:
         return out
 
     def _compute(
-        self, q, matches: DataFrame, ctx: _Ctx, phrase: str, top: bool = False
-    ) -> DataFrame:
+        self, q, matches: DataFrame | None, ctx: _Ctx, phrase: str,
+        top: bool = False,
+    ) -> DataFrame | None:
+        """``matches`` may be ``None`` ("no match rows yet") — leaves then
+        return their rows directly instead of unioning into an empty
+        seed frame; ``None`` and an empty frame are semantically
+        interchangeable everywhere below."""
         if ctx.term_hits is None:
             # direct _compute callers (not via search_df) still get ONE
             # batched dictionary probe for the whole subtree — term leaves
@@ -823,7 +900,9 @@ class SparkSearchEngine:
         if isinstance(q, (AndQuery, OrQuery)) and not isinstance(q, NotQuery):
             return self._group(q, matches, ctx, phrase, top=top)
         if isinstance(q, NotQuery):
-            excluded = self._compute(q.get_subquery(), self._empty_matches(), ctx, phrase)
+            excluded = self._compute(q.get_subquery(), None, ctx, phrase)
+            if matches is None or excluded is None:
+                return matches
             # no .distinct() on the excluded side: anti-join semantics are
             # set-based already, and the hash build dedups keys — the
             # distinct was a whole extra exchange per NOT (guide §2.4)
@@ -841,12 +920,81 @@ class SparkSearchEngine:
         return matches
 
     def _group(
-        self, q: GroupQuery, matches: DataFrame, ctx: _Ctx, phrase: str,
+        self, q: GroupQuery, matches: DataFrame | None, ctx: _Ctx, phrase: str,
         top: bool = False,
-    ) -> DataFrame:
+    ) -> DataFrame | None:
+        """Evaluate subqueries in priority order (stable: NOT last).
+
+        Exact-hit term leaves are FUSED into one postings scan per
+        distinct field scope: ``term IN (t1..tn)`` with qvalue/seq
+        restored by a CASE on the matched term — n leaves cost one scan
+        + zero unions instead of n scans + n union branches (guide
+        §2.3/§2.4). Rows, qvalues and seq numbers are identical to the
+        per-leaf form by construction (seq is allocated at each leaf's
+        iteration position, and fusion is skipped when two leaves share
+        a transformed term, where one CASE branch could not represent
+        both). Typo-fallback leaves and non-term subqueries keep their
+        own plans; pending fused leaves flush before any nested group /
+        NOT so exclusions always see every positive row accumulated so
+        far."""
         subs = sorted(q.subqueries, key=lambda s: s.priority)  # stable: NOT last
+        pending: list[tuple[str, str, int, tuple[str, ...]]] = []
+
+        def flush(m: DataFrame | None) -> DataFrame | None:
+            if not pending:
+                return m
+            by_fields: dict[tuple[str, ...], list[tuple[str, str, int]]] = {}
+            for t, qv, seq, flds in pending:
+                by_fields.setdefault(flds, []).append((t, qv, seq))
+            pending.clear()
+            for flds, leaves in by_fields.items():
+                if len(leaves) == 1:
+                    t, qv, seq = leaves[0]
+                    rows = self._postings_where(
+                        (F.col("term") == t) & F.col("field").isin(list(flds))
+                    ).select("doc_id", "field")
+                    m = self._attach(m, rows, qv, seq)
+                    continue
+                ts = [t for t, _, _ in leaves]
+                rows = self._postings_where(
+                    F.col("term").isin(ts) & F.col("field").isin(list(flds))
+                ).select("doc_id", "field", "term")
+                qv_expr = F.lit(None).cast("string")
+                seq_expr = F.lit(0)
+                for t, qv, seq in leaves:
+                    qv_expr = F.when(F.col("term") == t, F.lit(qv)).otherwise(qv_expr)
+                    seq_expr = F.when(
+                        F.col("term") == t, F.lit(seq * 1000)
+                    ).otherwise(seq_expr)
+                rows = rows.select(
+                    "doc_id",
+                    qv_expr.alias("qvalue"),
+                    "field",
+                    (seq_expr + self._field_pos_col()).alias("seq"),
+                )
+                m = rows if m is None else m.unionByName(rows)
+            return m
+
         for s in subs:
+            if type(s) is TermQuery:
+                t = self.schema.analyzer.transform(s.value)
+                if t is None:
+                    continue  # same as the per-leaf path: contributes nothing
+                t = str(t)
+                flds = tuple(self._term_leaf_fields(s))
+                has_exact = any(ctx.term_hits.get((t, f), False) for f in flds)
+                if has_exact and all(t != pt for pt, _, _, _ in pending):
+                    pending.append((t, s.value, ctx.next(), flds))
+                    continue
+                # typo fallback or duplicate transformed term: per-leaf path
+                matches = self._leaf_term(s, flush(matches), ctx)
+                continue
+            if isinstance(s, GroupQuery):
+                # nested groups can contain a NOT, which anti-joins every
+                # positive row so far — flush pending leaves first
+                matches = flush(matches)
             matches = self._compute(s, matches, ctx, phrase)
+        matches = flush(matches)
         if isinstance(q, AndQuery):
             n_text = len([s for s in q.subqueries if isinstance(s, TextQuery)])
             if top:
@@ -854,7 +1002,7 @@ class SparkSearchEngine:
                 # distinct-terms count there is the same quantity, so the
                 # extra groupBy + semi-join shuffle is avoided
                 ctx.pending_and_count = n_text
-            else:
+            elif matches is not None:
                 ok = (
                     matches.groupBy("doc_id")
                     .agg(F.countDistinct("qvalue").alias("c"))
@@ -879,10 +1027,12 @@ class SparkSearchEngine:
         return flag
 
     def _finalize(
-        self, q, matches: DataFrame, ctx: _Ctx, phrase: str
+        self, q, matches: DataFrame | None, ctx: _Ctx, phrase: str
     ) -> DataFrame:
         """Aggregate match rows per doc, attach stored docs, compute the
         fulltext flag and (for group queries) the reference weight."""
+        if matches is None:
+            matches = self._empty_matches()
         agg = matches.groupBy("doc_id").agg(
             F.array_distinct(
                 F.transform(
@@ -950,7 +1100,7 @@ class SparkSearchEngine:
         query = QueryParser(ANY_FIELD).parse(phrase)
         ctx = _Ctx()
         ctx.term_hits = self._prefetch_term_hits(query)
-        matches = self._compute(query, self._empty_matches(), ctx, phrase, top=True)
+        matches = self._compute(query, None, ctx, phrase, top=True)
         return self._finalize(query, matches, ctx, phrase)
 
     def warm_shapes(self, bm25: bool = True) -> dict[str, float]:

@@ -43,12 +43,20 @@ class PCAModel:
     explained_variance: tuple[float, ...]
 
 
-def _moments(df: DataFrame, col: str, dim: int):
-    """One distributed pass -> (n, sum vector, gram matrix) as numpy.
+def _moments(df: DataFrame, col: str, dim: int, count_nonnull: bool = False):
+    """One distributed pass -> (n, sum vector, gram matrix[, total]) as
+    numpy.
 
     Per Arrow batch: numpy float64 ``X.sum(0)`` and ``X.T @ X``,
-    flattened into a single (1 + d + d*d) vector; ONE combining
-    position aggregate merges all batches; the driver reassembles."""
+    flattened into a single (2 + d + d*d) vector; ONE combining
+    position aggregate merges all batches; the driver reassembles.
+
+    ``count_nonnull=True`` additionally counts every non-null row —
+    whatever its length — INSIDE the same pass (slot 0 of the partial
+    vector), so the dim-coverage validation does not need a second full
+    corpus scan (it previously doubled the reads of every covariance /
+    pca_train call). With it False the ``size == dim`` filter stays in
+    the plan, pushed ahead of the Arrow transfer."""
     import numpy as np
 
     def part(batches):
@@ -57,32 +65,43 @@ def _moments(df: DataFrame, col: str, dim: int):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array(pdf[col].tolist(), dtype=np.float64)
-            if x.ndim != 2 or x.shape[1] != dim:
-                raise ValueError(
-                    f"expected fixed dim {dim}, got shape {x.shape}"
+            total = float(len(pdf))
+            if count_nonnull:
+                lens = pdf[col].map(len)
+                matching = pdf[col][lens == dim]
+            else:
+                matching = pdf[col]
+            if len(matching):
+                x = np.array(matching.tolist(), dtype=np.float64)
+                if x.ndim != 2 or x.shape[1] != dim:
+                    raise ValueError(
+                        f"expected fixed dim {dim}, got shape {x.shape}"
+                    )
+                vec = np.concatenate(
+                    ([total, float(len(x))], x.sum(axis=0), (x.T @ x).ravel())
                 )
-            vec = np.concatenate(
-                ([float(len(x))], x.sum(axis=0), (x.T @ x).ravel())
-            )
+            else:
+                vec = np.zeros(2 + dim + dim * dim)
+                vec[0] = total
             yield pd.DataFrame({"m": [vec.tolist()]})
 
-    parts = df.select(F.col(col).alias(col)).where(
-        F.col(col).isNotNull() & (F.size(col) == dim)
-    ).mapInPandas(part, schema="m array<double>")
+    src = df.select(F.col(col).alias(col)).where(F.col(col).isNotNull())
+    if not count_nonnull:
+        src = src.where(F.size(col) == dim)
+    parts = src.mapInPandas(part, schema="m array<double>")
     rows = (
         parts.select(F.posexplode("m"))
         .groupBy("pos")
         .agg(F.sum("col").alias("v"))
         .collect()
     )
-    flat = np.zeros(1 + dim + dim * dim)
+    flat = np.zeros(2 + dim + dim * dim)
     for r in rows:
         flat[r["pos"]] = r["v"]
-    n = flat[0]
+    total, n = flat[0], flat[1]
     if n == 0:
         raise ValueError("no rows with the expected embedding dim")
-    return n, flat[1 : 1 + dim], flat[1 + dim :].reshape(dim, dim)
+    return n, flat[2 : 2 + dim], flat[2 + dim :].reshape(dim, dim), total
 
 
 def _infer_dim(df: DataFrame, col: str) -> int:
@@ -92,18 +111,16 @@ def _infer_dim(df: DataFrame, col: str) -> int:
     return int(row[0])
 
 
-def _check_coverage(df: DataFrame, col: str, dim: int, n: float,
-                    allow_mixed_dims: bool) -> None:
+def _check_coverage(dim: int, n: float, total: float) -> None:
     """Fail loudly when the size==dim guard excluded rows: a deviant
     first row would otherwise make _infer_dim pick the wrong dim and
-    the statistics silently cover a tiny subset."""
-    if allow_mixed_dims:
-        return
-    total = df.where(F.col(col).isNotNull()).count()
-    if int(n) != total:
+    the statistics silently cover a tiny subset. ``total`` (the
+    non-null row count) comes out of the SAME moments pass as ``n`` —
+    no second corpus scan."""
+    if int(n) != int(total):
         raise ValueError(
-            f"{total - int(n)} of {total} non-null rows do not have "
-            f"dim {dim}; pass an explicit dim= (and "
+            f"{int(total) - int(n)} of {int(total)} non-null rows do not "
+            f"have dim {dim}; pass an explicit dim= (and "
             f"allow_mixed_dims=True to compute over the matching "
             f"subset anyway)"
         )
@@ -120,8 +137,11 @@ def covariance(
     returned frame is driver-built (d^2 rows) so downstream joins
     against it broadcast for free."""
     dim = dim or _infer_dim(df, col)
-    n, s, g = _moments(df, col, dim)
-    _check_coverage(df, col, dim, n, allow_mixed_dims)
+    n, s, g, total = _moments(
+        df, col, dim, count_nonnull=not allow_mixed_dims
+    )
+    if not allow_mixed_dims:
+        _check_coverage(dim, n, total)
     mu = s / n
     import numpy as np
 
@@ -149,8 +169,11 @@ def pca_train(
     dim = dim or _infer_dim(df, col)
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}]")
-    n, s, g = _moments(df, col, dim)
-    _check_coverage(df, col, dim, n, allow_mixed_dims)
+    n, s, g, total = _moments(
+        df, col, dim, count_nonnull=not allow_mixed_dims
+    )
+    if not allow_mixed_dims:
+        _check_coverage(dim, n, total)
     mu = s / n
     c = g / n - np.outer(mu, mu)
     w, v = np.linalg.eigh((c + c.T) / 2.0)

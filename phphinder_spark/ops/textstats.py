@@ -984,7 +984,11 @@ def train_bpe(
         .agg(F.count("*").alias("wc"))
     )
     syms0 = F.concat(F.split(F.col("w"), ""), F.array(F.lit(end_marker)))
-    vocab = words.select("wc", syms0.alias("syms")).localCheckpoint()
+    # lazy checkpoints: each round's vocab materializes DURING that
+    # round's argmax job instead of in a separate eager job — halves the
+    # per-round job count (plan depth is still cut once materialized;
+    # round N+1 reads round N's checkpointed blocks)
+    vocab = words.select("wc", syms0.alias("syms")).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(int(n_merges)):
         # guard: a fully-merged word has ONE symbol, and
@@ -1027,7 +1031,9 @@ def train_bpe(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select("wc", merged.alias("syms")).localCheckpoint()
+        vocab = vocab.select("wc", merged.alias("syms")).localCheckpoint(
+            eager=False
+        )
     return df.sparkSession.createDataFrame(
         merges, "step int, a string, b string, count long"
     )
