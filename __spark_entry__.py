@@ -962,13 +962,23 @@ def _q_fingerprint(spark, sf_dir):
 _STREAM_STAGED: dict[str, tuple] = {}
 
 
+def _staging_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: staged micro-batch parquet waves no
+    longer leak on disk across runs in a long-lived driver (r7 ADVICE)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, True)
+    return out
+
+
 def _stream_batches(spark, sf_dir):
     if sf_dir not in _STREAM_STAGED:
-        import tempfile
-
         from phphinder_spark.streaming.replay import stage_batches
 
-        out = tempfile.mkdtemp(prefix="phph_stream_batches_")
+        out = _staging_dir("phph_stream_batches_")
         docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
         schema = stage_batches(spark, docs, out, n_batches=4)
         _STREAM_STAGED[sf_dir] = (out, schema)
@@ -1304,11 +1314,9 @@ _EVENT_STAGED: dict[str, tuple] = {}
 
 def _event_batches(spark, sf_dir):
     if sf_dir not in _EVENT_STAGED:
-        import tempfile
-
         from phphinder_spark.streaming.replay import stage_event_batches
 
-        out = tempfile.mkdtemp(prefix="phph_event_batches_")
+        out = _staging_dir("phph_event_batches_")
         ev = _events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "value"
         )

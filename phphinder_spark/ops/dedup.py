@@ -619,7 +619,7 @@ def connected_components(
     label_rounds = max_iter if algorithm == "label" else min(switch_after, max_iter)
     labels = edges.groupBy("u").agg(F.min("v").alias("l")).select(
         "u", F.least("u", "l").alias("l")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(label_rounds):
         _t0 = _time.time()
         # neighbor labels: for each edge (u, v), v's current label
@@ -628,9 +628,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("nl").alias("nl"))
         )
-        # carry the changed flag through the checkpoint: the convergence
-        # probe then scans the materialized frame instead of re-joining
-        # old vs new labels (one cheap scan per round, no extra join job)
+        # carry the changed flag through the checkpoint; the checkpoint is
+        # LAZY and the convergence probe is a single-row max aggregate, so
+        # materialization and probe share ONE job per round (the eager
+        # checkpoint + limit-probe pair cost two, and a limit probe scans
+        # converged rounds in incremental waves)
         new_labels = (
             labels.join(nbr, "u", "left")
             .select(
@@ -639,13 +641,13 @@ def connected_components(
                 (F.least("l", F.coalesce("nl", "l")) != F.col("l")).alias("chg"),
             )
             .withColumnRenamed("nl2", "l")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where("chg").limit(1).count()
+        changed = new_labels.agg(F.max("chg").alias("any")).collect()[0]["any"]
         labels = new_labels.select("u", "l")
         metrics["label_rounds"] += 1
         metrics["round_secs"].append(round(_time.time() - _t0, 3))
-        if changed == 0:
+        if not changed:  # None (empty frame) or all-false flags
             return _attach_singletons(
                 ids,
                 labels.select(F.col("u").alias("id"), F.col("l").alias("cluster_id")),
@@ -779,7 +781,10 @@ def _cc_star(
                 )
             )
         )
-        new_edges = _symmetrize_flag(small).localCheckpoint(eager=True)
+        # LAZY: the flag probe below materializes new_edges in the same
+        # job (mid stays eager — it feeds two small-star subtrees whose
+        # concurrent stages could otherwise compute it twice)
+        new_edges = _symmetrize_flag(small).localCheckpoint(eager=False)
         # ONE single-row aggregate job over both checkpointed frames (a
         # limit-1 probe would scan rare-flag rounds in incremental waves)
         flagged = (
