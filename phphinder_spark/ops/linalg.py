@@ -213,7 +213,7 @@ def pca_project(
     df = df.where(F.col(col).isNotNull() & (F.size(col) == dim))
     centered = F.zip_with(
         F.col(col).cast("array<double>"),
-        F.array(*[F.lit(m) for m in model.mean]),
+        F.lit([float(m) for m in model.mean]),
         lambda x, m: x - m,
     )
     projs = F.array(
@@ -222,7 +222,7 @@ def pca_project(
                 F.aggregate(
                     F.zip_with(
                         centered,
-                        F.array(*[F.lit(w) for w in comp]),
+                        F.lit([float(w) for w in comp]),
                         lambda a, b: a * b,
                     ),
                     F.lit(0.0),

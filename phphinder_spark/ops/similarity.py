@@ -83,7 +83,7 @@ def srp_bucket_col(vec_col: str | Column, table_planes: list[list[float]]) -> Co
         dot = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(s) for s in plane]),
+                F.lit([float(s) for s in plane]),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
@@ -204,7 +204,7 @@ def _assign_cells(
             return F.aggregate(
                 F.zip_with(
                     "cv",
-                    F.array(*[F.lit(float(x)) for x in centv]),
+                    F.lit([float(x) for x in centv]),
                     lambda x, y: x * y,
                 ),
                 F.lit(0.0),

@@ -84,7 +84,7 @@ def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
     n_chars = F.length(raw)
     n_alpha = F.length(F.regexp_replace(raw, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(raw, r"[^.,;:!?]", ""))
-    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS_EN)])
+    stop_arr = F.lit(sorted(STOPWORDS_EN))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_tok = F.size(toks)
     return df.select(
@@ -571,7 +571,7 @@ def gopher_quality(
     stop_hits = F.size(
         F.array_intersect(
             F.transform(words, F.lower),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            F.lit(list(GOPHER_STOPWORDS)),
         )
     )
     alpha_frac = F.round(
@@ -616,7 +616,7 @@ def language_id(
             F.struct(
                 F.size(
                     F.array_intersect(
-                        toks, F.array(*[F.lit(w) for w in profiles[lang]])
+                        toks, F.lit(list(profiles[lang]))
                     )
                 ).alias("h"),
                 F.lit(-i).alias("ni"),
@@ -625,7 +625,7 @@ def language_id(
         ]
     )
     best = F.array_max(entries)
-    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    lang_arr = F.lit(list(langs))
     pred = F.when(
         best["h"] > 0, F.element_at(lang_arr, -best["ni"] + 1)
     ).otherwise(F.lit("und"))

@@ -48,7 +48,7 @@ def reference_score(
             vals, boost = groups[g]
             if vals:
                 overlap = F.arrays_overlap(
-                    terms_col, F.array(*[F.lit(v) for v in vals])
+                    terms_col, F.lit([str(v) for v in vals])
                 )
                 contrib = F.when(overlap, F.lit(float(boost))).otherwise(F.lit(0.0))
             else:
