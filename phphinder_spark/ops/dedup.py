@@ -336,7 +336,14 @@ def dedup_against(
     # would pin both corpora's signatures in executor storage for the
     # application lifetime (ingest_increment calls this once per crawl
     # increment); checkpoint blocks are released by the context cleaner
-    # once the returned plan is garbage-collected
+    # once the returned plan is garbage-collected.
+    # Fault-tolerance caveat (same as graph.pagerank's checkpoints):
+    # localCheckpoint truncates lineage, so losing an executor that
+    # holds checkpoint blocks (or releasing it under dynamic
+    # allocation) fails the job instead of recomputing — on clusters
+    # where that risk matters, re-run the increment (signatures are a
+    # pure function of (text, seed)) or persist signatures to storage
+    # first, which is what a real incremental pipeline does anyway
     new_sigs = minhash_signatures(
         df, col, id_col, num_perm, shingle_k, seed
     ).localCheckpoint(eager=False)

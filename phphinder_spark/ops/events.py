@@ -424,6 +424,13 @@ def rate_anomalies(
     ``trailing`` predecessors, or a zero-variance baseline, have
     ``z_defined`` false and never flag.
 
+    ONE-SIDED by contract: only positive deviations (``z >=
+    z_thresh``) flag — the op targets ingest SPIKE detection; a rate
+    collapse (strongly negative z) does not set ``is_anomaly``.
+    Callers monitoring for drop-outs should additionally alert on the
+    reported ``z`` itself (it is in the output precisely so both tails
+    are observable).
+
     Output: ``(window_start_us, <by>, n_events, z_defined, base_mean,
     z, is_anomaly)`` with base_mean/z rounded to 1e-6. base_mean is
     ``-1.0`` when the baseline is short, and z is ``0.0`` whenever
